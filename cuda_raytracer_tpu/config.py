@@ -1,0 +1,93 @@
+"""Renderer configuration.
+
+One dataclass replaces the reference's compile-time ``#define`` lattice
+(reference: src/cudaRenderer.h:58-83 — TREE_WIDTH, RAYS_PER_BLOCK,
+QUEUE_LENGTH_LOG2, MAX_TRIANGLES, SAMPLES_PER_PIXEL, ... — plus
+TREE_BRANCHES/DEPTH in src/bvh.cpp:9-10 and the hard-coded bounce
+schedule at src/cudaRenderer.cu:2515-2534).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # ---- image / sampling (src/cudaRenderer.h:72-74) ----
+    width: int = 512
+    height: int = 512
+    #: samples per pixel traced per frame (chunked accumulation).
+    samples_per_frame: int = 2
+    #: total samples per pixel after full accumulation.
+    total_samples: int = 512
+
+    # ---- wide BVH (src/cudaRenderer.h:58, src/bvh.cpp:9-10, src/bvh.h:9) ----
+    #: arity of the wide tree (reference TREE_WIDTH=4, supports up to 16).
+    tree_width: int = 4
+    #: maximum primitives per leaf (reference max_leaf_size=32, bvh.h:111).
+    max_leaf_size: int = 32
+    #: number of SAH partition planes (reference numparts=12, bvh.cpp:104).
+    sah_bins: int = 12
+
+    # ---- wavefront queues ----
+    #: queue capacity multiplier: per-level entry capacity = multiplier * num
+    #: rays (reference queueSize = numRays*TREE_WIDTH*4, cudaRenderer.cu:1920).
+    queue_multiplier: int = 4
+    #: ray-block size for the Pallas traversal kernels (reference
+    #: RAYS_PER_BLOCK=64; TPU VPU tiles prefer multiples of 8*128).
+    rays_per_block: int = 1024
+
+    # ---- path schedule ----
+    #: number of path vertices (camera hit = depth 1). The reference hard
+    #: codes 3 (2 scatter bounces, cudaRenderer.cu:2515-2534).
+    max_depth: int = 3
+    #: per-depth NEE schedule: (num_samples, weight_per_sample). The
+    #: reference uses 2 samples x 0.5 at depths 0 and 1 and 1 x 1.0 at
+    #: depth 2 (cudaRenderer.cu:2515-2534).
+    nee_schedule: Tuple[Tuple[int, float], ...] = ((2, 0.5), (2, 0.5), (1, 1.0))
+    #: "uniform" hemisphere sampling (matches the reference's spherical
+    #: sample folded to the upper hemisphere, samplers.cu_inl:11-30) or
+    #: "cosine" importance sampling (lower variance, same expectation).
+    hemisphere_sampling: str = "uniform"
+
+    # ---- film / post ----
+    #: apply the 3x3 per-channel median filter while accumulated samples
+    #: < this threshold (reference POST_PROCESS_THRESHOLD=32,
+    #: cudaRenderer.h:70, applied at cudaRenderer.cu:2447-2449).
+    post_process_threshold: int = 32
+
+    # ---- numerics ----
+    #: shadow-ray pass tolerance: a shadow ray "reaches" the light when its
+    #: closest hit t > maxT - eps (reference 1e-3, cudaRenderer.cu:1279).
+    shadow_eps: float = 1e-3
+    #: scatter-ray origin offset along the normal (cudaRenderer.cu:599).
+    origin_eps: float = 1e-3
+
+    # ---- compat ----
+    #: replicate the reference GPU renderer's intentional quirks
+    #: (fixed 53.13deg camera frustum ignoring the COLLADA fov, the camera
+    #: origin fudge +(0, 0.75, 0) at cudaRenderer.cu:1596, shadow rays that
+    #: hit nothing contribute nothing). Default False = physically
+    #: correct / Scotty3D-CPU-matching behavior.
+    reference_compat: bool = False
+
+    # ---- multi-chip ----
+    #: how to shard rays across chips: "samples" (each chip traces a
+    #: disjoint subset of the spp with its own RNG stream; final psum
+    #: mean) or "tiles" (each chip owns a framebuffer slab).
+    shard_mode: str = "samples"
+
+    # ---- rng ----
+    seed: int = 15618  # reference cuRAND seed (src/samplers.cu_inl:8).
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def rays_per_frame(self) -> int:
+        return self.width * self.height * self.samples_per_frame
+
+
+DEFAULT_CONFIG = RenderConfig()

@@ -1,0 +1,336 @@
+"""Editable ("dynamic") scene graph.
+
+Python equivalents of src/dynamic_scene/: the Scene container
+(scene.h:195-333), Mesh (mesh.cpp:21-46, 726-788), Sphere
+(sphere.cpp:9-53), and the light wrappers (ambient_light.h,
+directional_light.h, area_light.h, point_light.h, spot_light.h,
+environment_light.h), plus the instance factories of
+src/cudaRenderer.cu:40-78 (init_light / init_sphere / init_polymesh) and
+Application::load's node walk (src/application.cpp:84-130).
+
+``get_static_scene`` converts to the render-ready
+:mod:`~cuda_raytracer_tpu.scene.static_scene` form;
+``get_transformed_static_scene(t)`` applies per-object animated TRS
+splines first (semantics of src/dynamic_scene/mesh.cpp:746-788).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import static_scene
+from .bsdf import BSDF, DiffuseBSDF
+from .camera import Camera, CutracerCamera
+from .collada_info import (
+    CameraInfo,
+    InstanceType,
+    LightInfo,
+    LightType,
+    PolymeshInfo,
+    SceneInfo,
+    SphereInfo,
+)
+from .mesh import PolygonMesh
+from .spline import Spline
+
+
+def _xform_point(transform: np.ndarray, p) -> np.ndarray:
+    out = transform @ np.append(np.asarray(p, dtype=np.float64), 1.0)
+    return out[:3] / out[3] if out[3] != 0 else out[:3]
+
+
+def _xform_point_h1(transform: np.ndarray, p) -> np.ndarray:
+    """transform * (p, 1) truncated to 3D without the w divide — the
+    reference's ``.to3D()`` used throughout the light wrappers."""
+    return (transform @ np.append(np.asarray(p, dtype=np.float64), 1.0))[:3]
+
+
+def _unit(v):
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+class SceneObject:
+    """Dynamic object interface (scene.h:37-149)."""
+
+    def get_static_object(self) -> static_scene.SceneObject:
+        raise NotImplementedError
+
+    def get_transformed_static_object(self, t: float) -> static_scene.SceneObject:
+        return self.get_static_object()
+
+    def get_bbox(self) -> Tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError
+
+
+class SceneLight:
+    """Dynamic light interface (scene.h:187-190)."""
+
+    def get_static_light(self) -> static_scene.SceneLight:
+        raise NotImplementedError
+
+
+class Mesh(SceneObject):
+    """Halfedge-backed mesh object (mesh.cpp:21-46).  Vertices are
+    transformed into world space at construction; animated TRS keyframes
+    live in position/rotation/scale splines (mesh.h keyframe fields)."""
+
+    def __init__(self, polymesh: PolymeshInfo, transform: np.ndarray):
+        polygons = [list(p.vertex_indices) for p in polymesh.polygons]
+        mesh = PolygonMesh(np.asarray(polymesh.vertices, dtype=np.float64), polygons)
+        self.mesh = mesh.transformed(transform)
+        if polymesh.material is not None and polymesh.material.bsdf is not None:
+            self.bsdf: BSDF = polymesh.material.bsdf
+        else:
+            # mesh.cpp:36-38 defaults to a white diffuse
+            self.bsdf = DiffuseBSDF(np.array([1.0, 1.0, 1.0]))
+        # animation channels (mesh.h; evaluated in
+        # get_transformed_static_object, mesh.cpp:746-788)
+        self.positions = Spline()
+        self.rotations = Spline()
+        self.scales = Spline()
+        self.scales.set_value(0.0, np.array([1.0, 1.0, 1.0]))
+
+    def get_bbox(self):
+        return self.mesh.bbox()
+
+    def _to_static(self, verts: np.ndarray) -> static_scene.Mesh:
+        m = PolygonMesh(verts, self.mesh.polygons)
+        tris = m.triangulate()
+        normals = m.vertex_normals(tris)
+        return static_scene.Mesh(verts, normals, tris, self.bsdf)
+
+    def get_static_object(self) -> static_scene.Mesh:
+        return self._to_static(self.mesh.vertices)
+
+    def get_transformed_static_object(self, t: float) -> static_scene.Mesh:
+        """Apply the animated TRS at time ``t`` to every vertex
+        (mesh.cpp:746-788)."""
+        pos = self.positions.evaluate(t, default=np.zeros(3))
+        rot = self.rotations.evaluate(t, default=np.zeros(3))
+        scale = self.scales.evaluate(t, default=np.array([1.0, 1.0, 1.0]))
+        transform = _trs_matrix(pos, rot, scale)
+        hom = np.concatenate(
+            [self.mesh.vertices, np.ones((len(self.mesh.vertices), 1))], axis=1
+        )
+        verts = (hom @ transform.T)[:, :3]
+        return self._to_static(verts)
+
+
+class Sphere(SceneObject):
+    """Analytic sphere object (sphere.cpp:9-17,51-53)."""
+
+    def __init__(self, info: SphereInfo, position, scale: float):
+        self.p = np.asarray(position, dtype=np.float64)
+        self.r = info.radius * scale
+        if info.material is not None and info.material.bsdf is not None:
+            self.bsdf: BSDF = info.material.bsdf
+        else:
+            self.bsdf = DiffuseBSDF(np.array([0.5, 0.5, 0.5]))
+
+    def get_bbox(self):
+        return self.p - self.r, self.p + self.r
+
+    def get_static_object(self) -> static_scene.SphereObject:
+        return static_scene.SphereObject(self.p, self.r, self.bsdf)
+
+
+class AmbientLight(SceneLight):
+    """ambient_light.h:12-22 — becomes an infinite hemisphere light."""
+
+    def __init__(self, light_info: LightInfo):
+        self.spectrum = np.asarray(light_info.spectrum, dtype=np.float64)
+
+    def get_static_light(self):
+        return static_scene.InfiniteHemisphereLight(self.spectrum)
+
+
+class DirectionalLight(SceneLight):
+    """directional_light.h:12-24."""
+
+    def __init__(self, light_info: LightInfo, transform: np.ndarray):
+        self.spectrum = np.asarray(light_info.spectrum, dtype=np.float64)
+        self.direction = -_unit(_xform_point_h1(transform, light_info.direction))
+
+    def get_static_light(self):
+        return static_scene.DirectionalLight(self.spectrum, self.direction)
+
+
+class AreaLight(SceneLight):
+    """area_light.h:12-31 — position/direction/dim_x/dim_y pushed through
+    the node transform."""
+
+    def __init__(self, light_info: LightInfo, transform: np.ndarray):
+        self.spectrum = np.asarray(light_info.spectrum, dtype=np.float64)
+        self.position = _xform_point_h1(transform, light_info.position)
+        self.direction = _unit(
+            _xform_point_h1(transform, light_info.direction) - self.position
+        )
+        dim_y = light_info.up
+        dim_x = np.cross(light_info.up, light_info.direction)
+        self.dim_x = _xform_point_h1(transform, dim_x) - self.position
+        self.dim_y = _xform_point_h1(transform, dim_y) - self.position
+
+    def get_static_light(self):
+        return static_scene.AreaLight(
+            self.spectrum, self.position, self.direction, self.dim_x, self.dim_y
+        )
+
+
+class PointLight(SceneLight):
+    """point_light.h:15-25."""
+
+    def __init__(self, light_info: LightInfo, transform: np.ndarray):
+        self.spectrum = np.asarray(light_info.spectrum, dtype=np.float64)
+        self.position = _xform_point_h1(transform, light_info.position)
+
+    def get_static_light(self):
+        return static_scene.PointLight(self.spectrum, self.position)
+
+
+class SpotLight(SceneLight):
+    """spot_light.h:13-27 (fixed 90 degree cone as in the reference)."""
+
+    def __init__(self, light_info: LightInfo, transform: np.ndarray):
+        self.spectrum = np.asarray(light_info.spectrum, dtype=np.float64)
+        self.position = _xform_point_h1(transform, light_info.position)
+        self.direction = _unit(
+            _xform_point_h1(transform, light_info.direction) - self.position
+        )
+
+    def get_static_light(self):
+        return static_scene.SpotLight(
+            self.spectrum, self.position, self.direction, 90.0
+        )
+
+
+class EnvironmentLight(SceneLight):
+    """environment_light.h — wraps an HDR lat-long radiance map."""
+
+    def __init__(self, envmap: np.ndarray):
+        self.envmap = envmap
+
+    def get_static_light(self):
+        return static_scene.EnvironmentLight(self.envmap)
+
+
+def init_light(light: LightInfo, transform: np.ndarray) -> Optional[SceneLight]:
+    """Light factory (src/cudaRenderer.cu:40-59)."""
+    if light.light_type == LightType.AMBIENT:
+        return AmbientLight(light)
+    if light.light_type == LightType.DIRECTIONAL:
+        return DirectionalLight(light, transform)
+    if light.light_type == LightType.AREA:
+        return AreaLight(light, transform)
+    if light.light_type == LightType.POINT:
+        return PointLight(light, transform)
+    if light.light_type == LightType.SPOT:
+        return SpotLight(light, transform)
+    return None
+
+
+def init_sphere(sphere: SphereInfo, transform: np.ndarray) -> Sphere:
+    """Sphere factory: translation from the transformed origin, uniform
+    scale from a transformed unit vector (src/cudaRenderer.cu:61-73)."""
+    position = _xform_point(transform, np.zeros(3))
+    scale = np.linalg.norm((transform @ np.array([1.0, 0.0, 0.0, 0.0]))[:3])
+    return Sphere(sphere, position, scale)
+
+
+def init_polymesh(polymesh: PolymeshInfo, transform: np.ndarray) -> Mesh:
+    return Mesh(polymesh, transform)
+
+
+class Scene:
+    """Dynamic scene container (scene.h:195-333, trimmed to the
+    renderer-facing surface)."""
+
+    def __init__(self, objects: List[SceneObject], lights: List[SceneLight]):
+        self.objects = objects
+        self.lights = lights
+
+    def get_bbox(self):
+        mins, maxs = [], []
+        for o in self.objects:
+            lo, hi = o.get_bbox()
+            mins.append(lo)
+            maxs.append(hi)
+        if not mins:
+            return np.zeros(3), np.zeros(3)
+        return np.min(mins, axis=0), np.max(maxs, axis=0)
+
+    def get_static_scene(self) -> static_scene.Scene:
+        """scene.h:296 — convert every object/light to its static form."""
+        return static_scene.Scene(
+            [o.get_static_object() for o in self.objects],
+            [l.get_static_light() for l in self.lights],
+        )
+
+    def get_transformed_static_scene(self, t: float) -> static_scene.Scene:
+        """scene.h:301 — static scene with animated transforms at time t."""
+        return static_scene.Scene(
+            [o.get_transformed_static_object(t) for o in self.objects],
+            [l.get_static_light() for l in self.lights],
+        )
+
+
+def _trs_matrix(pos, rot_deg, scale) -> np.ndarray:
+    """TRS compose (rotation XYZ Euler, degrees) as mesh.cpp:756-772."""
+    rx, ry, rz = np.radians(np.asarray(rot_deg, dtype=np.float64))
+
+    def rot_x(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+    def rot_y(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    def rot_z(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    r = rot_z(rz) @ rot_y(ry) @ rot_x(rx)
+    m = np.eye(4)
+    m[:3, :3] = r * np.asarray(scale, dtype=np.float64)[None, :]
+    m[:3, 3] = np.asarray(pos, dtype=np.float64)
+    return m
+
+
+def load_from_scene_info(scene_info: SceneInfo):
+    """Build a dynamic scene + cameras from parsed COLLADA nodes.
+
+    Combines CudaRenderer::loadFromSceneInfo (src/cudaRenderer.cu:1572-1677)
+    and Application::load (src/application.cpp:84-130).  Returns
+    (scene, camera_info, camera_transform, cutracer_camera) where the
+    last is the CUDA renderer's camera basis.
+    """
+    lights: List[SceneLight] = []
+    objects: List[SceneObject] = []
+    camera_info: Optional[CameraInfo] = None
+    camera_transform = np.eye(4)
+    cutracer_camera: Optional[CutracerCamera] = None
+
+    for node in scene_info.nodes:
+        instance = node.instance
+        if instance is None:
+            continue
+        transform = node.transform
+        if instance.type == InstanceType.CAMERA:
+            camera_info = instance
+            camera_transform = transform
+            cutracer_camera = CutracerCamera.from_collada(instance, transform)
+        elif instance.type == InstanceType.LIGHT:
+            light = init_light(instance, transform)
+            if light is not None:
+                lights.append(light)
+        elif instance.type == InstanceType.SPHERE:
+            objects.append(init_sphere(instance, transform))
+        elif instance.type == InstanceType.POLYMESH:
+            objects.append(init_polymesh(instance, transform))
+
+    if not lights:  # default ambient (cudaRenderer.cu:1629-1633)
+        lights.append(AmbientLight(LightInfo()))
+    return Scene(objects, lights), camera_info, camera_transform, cutracer_camera
