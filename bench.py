@@ -1,0 +1,77 @@
+"""Headline benchmark: CBbunny 800x600, 64 spp, depth-4 paths on one TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.md): >= 100 Mrays/sec/chip on TPU v5e.
+
+Ray accounting matches the harness definition: every traversal of every
+sample counts one ray (camera + NEE shadow + bounce rays), i.e. the
+same "rays" the reference's wavefront pushes through its queues.
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MRAYS = 100.0
+
+SCENE = "/root/reference/media/pathtracer/advanced/CBbunny.dae"
+WIDTH, HEIGHT, TOTAL_SPP = 800, 600, 64
+SPP_PER_PASS = 2
+
+
+def main():
+    import jax
+    from cuda_raytracer_tpu.config import RenderConfig
+    from cuda_raytracer_tpu.render.engine import WavefrontRenderer
+
+    cfg = RenderConfig(
+        width=WIDTH,
+        height=HEIGHT,
+        samples_per_frame=SPP_PER_PASS,
+        total_samples=TOTAL_SPP,
+        max_depth=4,
+        nee_schedule=((1, 1.0), (1, 1.0), (1, 1.0), (1, 1.0)),
+    )
+    r = WavefrontRenderer(cfg, camera_mode="collada")
+    if os.path.exists(SCENE):
+        r.load_scene(SCENE)
+    else:  # fall back to the procedural box (reference media missing)
+        from cuda_raytracer_tpu.models.cornell import cornell_box_scene
+
+        r.load_static_scene(cornell_box_scene(with_spheres=True))
+        r.set_viewpoint([0, 0.75, 2.5], [0, 0.75, 0])
+
+    # rays per frame: camera + per-depth (NEE * lights) + bounces
+    rays_per_frame = r.mrays_per_frame * 1e6
+
+    # warmup / compile
+    r.render()
+    r._reset_accumulation()
+
+    t0 = time.perf_counter()
+    frames = 0
+    while r.image_samples < TOTAL_SPP:
+        r.render()
+        frames += 1
+    elapsed = time.perf_counter() - t0
+
+    total_rays = rays_per_frame * frames
+    mrays = total_rays / elapsed / 1e6
+    out = {
+        "metric": "Mrays/sec/chip (CBbunny 800x600, 64 spp, depth-4 + NEE)",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "wall_clock_64spp_s": round(elapsed, 2),
+        "frames": frames,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,339 @@
+"""The wavefront renderer.
+
+TPU-native equivalent of ``cutracer::CudaRenderer``
+(src/cudaRenderer.h:173-272, src/cudaRenderer.cu:1496-2564): owns the
+flattened device scene, compiles the per-frame pipeline once per scene
+shape, and accumulates frames of ``samples_per_frame`` spp with
+reset-on-move semantics and threshold-gated median-filter denoise.
+
+One frame follows the reference's schedule (renderFrame,
+src/cudaRenderer.cu:2460-2558): camera rays -> closest-hit traversal ->
+per-depth NEE shadow passes -> BSDF scatter -> next traversal -> ... ->
+film reconstruction.  With the default config (depth 3, NEE schedule
+2x0.5 / 2x0.5 / 1x1.0) a frame performs the reference's exact 8 BVH
+traversals (src/cudaRenderer.cu:2499-2534).
+
+Differences from the reference are deliberate TPU-first redesigns:
+SoA ray state instead of CuRay structs, deterministic scan compaction
+instead of atomics, segment-min closest hit instead of 16-slot token
+merges, counter-based jax.random instead of cuRAND state arrays, and a
+physically-correct default mode (emission on counted hits, one-sided
+area lights, no lost-ray light drops) with ``reference_compat`` where
+that matters.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_CONFIG, RenderConfig
+from ..ops import filters as F
+from ..ops import shade as S
+from ..ops.traverse import trace_closest
+from ..scene import static_scene as st
+from ..scene.camera import Camera, CutracerCamera
+from ..scene.collada import load_scene_info
+from ..scene.dynamic_scene import load_from_scene_info
+from .flatscene import FlatScene, flatten_scene
+
+
+class WavefrontRenderer:
+    """End-to-end renderer with the CudaRenderer-shaped API surface:
+    load_scene / setup / render / get_image / set_viewpoint."""
+
+    def __init__(self, config: RenderConfig = DEFAULT_CONFIG,
+                 camera_mode: str = "canonical"):
+        self.config = config
+        #: "canonical" = Scotty3D Application orbit placement
+        #: (src/application.cpp:396-409); "collada" = the .dae camera
+        #: node transform; "cutracer" = the CUDA renderer's basis with
+        #: its fixed frustum (src/cudaRenderer.cu:1590-1606).
+        self.camera_mode = camera_mode
+        self.scene: Optional[FlatScene] = None
+        self.camera: Optional[Camera] = None
+        self.cutracer_camera: Optional[CutracerCamera] = None
+        self.dynamic_scene = None
+        self.bvh = None
+        self.frame_index = 0
+        self.image_samples = 0
+        self._final_image = None
+        self._render_jit = None
+        self._accum_jit = None
+        self.stage_times: Dict[str, float] = {}
+
+    # -- scene loading (loadScene, src/cudaRenderer.cu:1679-1843) --------
+    def load_scene(self, path: str) -> None:
+        info = load_scene_info(path)
+        dscene, cam_info, cam_xf, cut_cam = load_from_scene_info(info)
+        self.dynamic_scene = dscene
+        self.load_static_scene(dscene.get_static_scene(), cam_info, cam_xf, cut_cam)
+
+    def load_static_scene(self, sscene: st.Scene, cam_info=None,
+                          cam_transform=None, cut_cam=None) -> None:
+        cfg = self.config
+        self.scene, self.bvh = flatten_scene(
+            sscene,
+            tree_width=cfg.tree_width,
+            max_leaf_size=cfg.max_leaf_size,
+            sah_bins=cfg.sah_bins,
+        )
+        self.static_scene = sscene
+
+        camera = Camera()
+        if cam_info is not None:
+            camera.configure(cam_info, cfg.width, cfg.height)
+        else:
+            camera.hFov, camera.vFov = 50.0, 35.0
+            camera.screenW, camera.screenH = cfg.width, cfg.height
+        if self.camera_mode == "collada" and cam_transform is not None:
+            # camera at the .dae node transform, with the reference's
+            # +0.75y origin lift (src/cudaRenderer.cu:1596 — the shipped
+            # scenes author cameras at floor level and assume it)
+            pos = (cam_transform @ np.array([0, 0, 0, 1.0]))[:3]
+            pos = pos + np.array([0.0, 0.75, 0.0])
+            rot = cam_transform[:3, :3]
+            z = -rot @ np.array([0.0, 0.0, -1.0])  # backward dir
+            x = rot @ np.array([1.0, 0.0, 0.0])
+            y = rot @ np.array([0.0, 1.0, 0.0])
+            camera.pos = pos
+            camera.c2w = np.stack(
+                [x / np.linalg.norm(x), y / np.linalg.norm(y), z / np.linalg.norm(z)],
+                axis=1,
+            )
+        else:
+            # Application::load placement (src/application.cpp:396-409)
+            bb_min, bb_max = sscene.bbox()
+            if cam_transform is not None and cam_info is not None:
+                c_dir = (cam_transform @ np.append(cam_info.view_dir, 1.0))[:3]
+                nrm = np.linalg.norm(c_dir)
+                c_dir = c_dir / nrm if nrm > 0 else np.array([0.0, 0.0, 1.0])
+            else:
+                c_dir = np.array([0.0, 0.0, 1.0])
+            camera.place_canonical(bb_min, bb_max, c_dir)
+        self.camera = camera
+        self.cutracer_camera = cut_cam
+        self._reset_accumulation()
+        self._render_jit = None
+
+    # -- compile (setup, src/cudaRenderer.cu:1872-2113) -------------------
+    #
+    # The frame is compiled as a small set of stage executables instead
+    # of one giant program: every traversal in the frame (camera, NEE
+    # shadow, bounce — 8 with the default schedule) has identical shapes,
+    # so ONE compiled trace executable is reused for all of them, cutting
+    # XLA compile time by ~8x.  This is the moral equivalent of the
+    # reference launching the same kernels per stage rather than
+    # generating one megakernel.
+    def setup(self) -> None:
+        cfg = self.config
+
+        def raygen(cam_arrays, key):
+            if self.camera_mode == "cutracer":
+                return S.generate_camera_rays_cutracer(
+                    jax.random.fold_in(key, 0),
+                    cfg.width, cfg.height, cfg.samples_per_frame,
+                    *cam_arrays,
+                )
+            pos, c2w = cam_arrays
+            return S.generate_camera_rays(
+                jax.random.fold_in(key, 0),
+                cfg.width, cfg.height, cfg.samples_per_frame,
+                pos, c2w,
+                math.tan(math.radians(self.camera.hFov) / 2),
+                math.tan(math.radians(self.camera.vFov) / 2),
+            )
+
+        def trace(scene, o, d, valid):
+            return trace_closest(scene, o, d, valid, cfg.queue_multiplier)
+
+        def shade_hit(scene, o, d, t, prim, importance, light, count_emission):
+            hit = S.compute_hits(scene, o, d, t, prim, cfg.origin_eps)
+            if not cfg.reference_compat:
+                light = light + S.emission_at_hits(
+                    scene, hit, importance, count_emission
+                )
+            return hit, light
+
+        def nee_prep(scene, hit, importance, key, li, weight):
+            u = jax.random.uniform(key, (hit.t.shape[0], 2), dtype=jnp.float32)
+            return S.nee_shadow_rays(
+                scene, hit, importance, li, u, weight,
+                compat_two_sided=cfg.reference_compat,
+            )
+
+        def nee_accum(light, t_s, prim_s, max_t, li_imp, ok):
+            passes = t_s > max_t - cfg.shadow_eps
+            if cfg.reference_compat:
+                passes = passes & (prim_s >= 0)
+            return light + jnp.where((ok & passes)[:, None], li_imp, 0.0)
+
+        def scatter(scene, hit, importance, key):
+            return S.scatter(scene, hit, importance, key,
+                             cfg.origin_eps, cfg.hemisphere_sampling)
+
+        def film(light, final_img, image_samples):
+            img = F.reconstruct(light, cfg.width, cfg.height,
+                                cfg.samples_per_frame)
+            final = F.accumulate(
+                final_img, img,
+                image_samples.astype(jnp.float32),
+                jnp.float32(cfg.samples_per_frame),
+            )
+            post = F.median_filter_3x3(final, cfg.reference_compat)
+            return final, post
+
+        self._jit = {
+            "raygen": jax.jit(raygen),
+            "trace": jax.jit(trace),
+            "shade_hit": jax.jit(shade_hit),
+            "nee_prep": jax.jit(nee_prep, static_argnums=(4, 5)),
+            "nee_accum": jax.jit(nee_accum),
+            "scatter": jax.jit(scatter),
+            "film": jax.jit(film),
+        }
+        self._render_jit = self._run_frame
+        self._accum_jit = True
+
+    def _run_frame(self, scene, cam_arrays, key, final_img, image_samples):
+        """Drive the stage executables for one frame (renderFrame,
+        src/cudaRenderer.cu:2460-2558)."""
+        cfg = self.config
+        J = self._jit
+        o, d = J["raygen"](cam_arrays, key)
+        n = o.shape[0]
+        valid = jnp.ones((n,), dtype=bool)
+        importance = jnp.ones((n, 3), dtype=jnp.float32)
+        light = jnp.zeros((n, 3), dtype=jnp.float32)
+        count_emission = jnp.ones((n,), dtype=bool)
+        dropped = jnp.int32(0)
+
+        schedule = list(cfg.nee_schedule)
+        for depth in range(cfg.max_depth):
+            res = J["trace"](scene, o, d, valid)
+            dropped = dropped + res.dropped
+            hit, light = J["shade_hit"](
+                scene, o, d, res.t, res.prim, importance, light, count_emission
+            )
+            num_nee, weight = (
+                schedule[depth] if depth < len(schedule) else (0, 0.0)
+            )
+            for s in range(num_nee):
+                for li in range(self.scene.num_lights):
+                    k_u = jax.random.fold_in(key, 1000 + depth * 64 + s * 8 + li)
+                    o_s, d_s, max_t, li_imp, ok = J["nee_prep"](
+                        scene, hit, importance, k_u, li, float(weight)
+                    )
+                    res_s = J["trace"](scene, o_s, d_s, ok)
+                    dropped = dropped + res_s.dropped
+                    light = J["nee_accum"](
+                        light, res_s.t, res_s.prim, max_t, li_imp, ok
+                    )
+            if depth + 1 < cfg.max_depth:
+                k_s = jax.random.fold_in(key, 2000 + depth)
+                o, d, importance, valid, count_emission = J["scatter"](
+                    scene, hit, importance, k_s
+                )
+        final, post = J["film"](light, final_img, image_samples)
+        return final, post, dropped
+
+    def _reset_accumulation(self) -> None:
+        cfg = self.config
+        self._final_image = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        self._post_image = None
+        self.image_samples = 0
+
+    def _camera_arrays(self):
+        if self.camera_mode == "cutracer":
+            if self.cutracer_camera is None:
+                raise ValueError("scene has no collada camera for cutracer mode")
+            return self.cutracer_camera.as_arrays()
+        return (
+            jnp.asarray(self.camera.pos, jnp.float32),
+            jnp.asarray(self.camera.c2w, jnp.float32),
+        )
+
+    # -- per-frame render (renderAccumulate, src/cudaRenderer.cu:2411-2457)
+    def render(self) -> None:
+        if self._render_jit is None:
+            self.setup()
+        cfg = self.config
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.seed), self.frame_index
+        )
+        t0 = time.perf_counter()
+        final, post, dropped = self._render_jit(
+            self.scene,
+            self._camera_arrays(),
+            key,
+            self._final_image,
+            jnp.int32(self.image_samples),
+        )
+        final.block_until_ready()
+        self.stage_times["frame"] = time.perf_counter() - t0
+        self._final_image = final
+        self._post_image = post
+        self._dropped = int(dropped)
+        self.image_samples += cfg.samples_per_frame
+        self.frame_index += 1
+
+    def render_to(self, total_spp: Optional[int] = None) -> np.ndarray:
+        """Accumulate frames until total_spp samples/pixel, then return
+        the image (the headless render_scene analog)."""
+        cfg = self.config
+        target = total_spp or cfg.total_samples
+        while self.image_samples < target:
+            self.render()
+        return self.get_image()
+
+    # -- image access (getImage, src/cudaRenderer.cu:1539-1570) -----------
+    def get_image(self) -> np.ndarray:
+        if self.image_samples < self.config.post_process_threshold and (
+            self._post_image is not None
+        ):
+            return np.asarray(self._post_image)
+        return np.asarray(self._final_image)
+
+    def get_raw_image(self) -> np.ndarray:
+        return np.asarray(self._final_image)
+
+    # -- interactive camera (setViewpoint, src/cudaRenderer.cu:1845-1870) -
+    def set_viewpoint(self, origin, look_at) -> None:
+        cam = self.camera
+        origin = np.asarray(origin, dtype=np.float64)
+        look_at = np.asarray(look_at, dtype=np.float64)
+        z = origin - look_at  # backward
+        z = z / np.linalg.norm(z)
+        up = np.array([0.0, 1.0, 0.0])
+        x = np.cross(up, z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        cam.pos = origin
+        cam.c2w = np.stack([x, y, z], axis=1)
+        if self.cutracer_camera is not None:
+            self.cutracer_camera.origin = origin
+            self.cutracer_camera.look_at = -z
+        self._reset_accumulation()
+
+    @property
+    def mrays_per_frame(self) -> float:
+        """Total rays traced per frame (camera + shadow + bounce)."""
+        cfg = self.config
+        n = cfg.rays_per_frame
+        traversals = 1
+        for depth in range(cfg.max_depth):
+            num_nee, _ = (
+                cfg.nee_schedule[depth]
+                if depth < len(cfg.nee_schedule)
+                else (0, 0.0)
+            )
+            traversals += num_nee * max(self.scene.num_lights, 1)
+            if depth + 1 < cfg.max_depth:
+                traversals += 1
+        return n * traversals / 1e6

@@ -1,0 +1,333 @@
+"""Flat device scene.
+
+The TPU analog of the reference's scene upload (CudaRenderer::loadScene
++ setup, src/cudaRenderer.cu:1679-2113): the static scene is flattened
+into dense float32/int32 SoA arrays — primitives in BVH-sorted order
+(like getSortedPrimitives feeding CuTriangle upload,
+src/cudaRenderer.cu:1760-1792), a tagged BSDF table (CuBSDF,
+src/cudaRenderer.h:135-140, extended beyond the reference's
+diffuse/mirror pair to refraction/glass/emission), a light table
+(CuEmitter, src/cudaRenderer.h:126-133 — the reference supports exactly
+one area light, cudaRenderer.cu:1734-1754; we support a mixed list), and
+the flat wide BVH (CuBVHSubTree arrays + level lists).
+
+Everything is a flax.struct pytree of jnp arrays, so the whole scene is
+one jit argument and one host->HBM upload.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..accel.bvh import BVHAccel
+from ..accel.wide import FlatWideBVH, build_flat_wide_bvh
+from ..scene import static_scene as st
+from ..scene.bsdf import (
+    BSDF_DIFFUSE,
+    BSDF_EMISSION,
+    BSDF_GLASS,
+    BSDF_MIRROR,
+    BSDF_REFRACTION,
+    DiffuseBSDF,
+    EmissionBSDF,
+    GlassBSDF,
+    MirrorBSDF,
+    RefractionBSDF,
+)
+
+# primitive type tags
+PRIM_TRI = 0
+PRIM_SPHERE = 1
+
+# light type tags
+LIGHT_AREA = 0
+LIGHT_POINT = 1
+LIGHT_DIRECTIONAL = 2
+LIGHT_HEMISPHERE = 3
+LIGHT_SPOT = 4
+
+
+@struct.dataclass
+class FlatBVH:
+    """Device wide-BVH arrays (CuBVHSubTree, src/cudaRenderer.h:142-153,
+    plus the level lists of src/cudaRenderer.cu:1794-1840)."""
+
+    outlets: jnp.ndarray  # [N, W] int32, -1 = none
+    child_min: jnp.ndarray  # [N, W, 3] f32
+    child_max: jnp.ndarray  # [N, W, 3] f32
+    leaf_start: jnp.ndarray  # [N] int32
+    leaf_range: jnp.ndarray  # [N] int32 (>0 iff leaf)
+    # static metadata (not traced)
+    levels: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False)
+    #: per-level (inner-node count, leaf-node count) — sizes the static
+    #: per-level queue capacities under jit
+    level_inner: Tuple[int, ...] = struct.field(pytree_node=False)
+    level_leaf: Tuple[int, ...] = struct.field(pytree_node=False)
+    width: int = struct.field(pytree_node=False)
+    max_leaf: int = struct.field(pytree_node=False)
+    root_is_leaf: bool = struct.field(pytree_node=False)
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+
+@struct.dataclass
+class FlatScene:
+    """Complete device scene."""
+
+    # primitives, BVH-sorted (CuTriangle upload order)
+    prim_type: jnp.ndarray  # [P] int32
+    v0: jnp.ndarray  # [P, 3] f32 (sphere: center)
+    v1: jnp.ndarray  # [P, 3] f32 (sphere: [radius, 0, 0])
+    v2: jnp.ndarray  # [P, 3] f32
+    n0: jnp.ndarray  # [P, 3] f32 vertex normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    prim_bsdf: jnp.ndarray  # [P] int32
+
+    # BSDF table (CuBSDF extended)
+    bsdf_fn: jnp.ndarray  # [B] int32
+    bsdf_albedo: jnp.ndarray  # [B, 3] f32
+    bsdf_radiance: jnp.ndarray  # [B, 3] f32
+    bsdf_ior: jnp.ndarray  # [B] f32
+
+    # light table (CuEmitter extended with a type tag)
+    light_type: jnp.ndarray  # [L] int32
+    light_radiance: jnp.ndarray  # [L, 3] f32
+    light_position: jnp.ndarray  # [L, 3] f32
+    light_direction: jnp.ndarray  # [L, 3] f32
+    light_dim_x: jnp.ndarray  # [L, 3] f32
+    light_dim_y: jnp.ndarray  # [L, 3] f32
+    light_area: jnp.ndarray  # [L] f32
+
+    bvh: FlatBVH
+
+    num_lights: int = struct.field(pytree_node=False)
+    #: static copy of light_type, usable for trace-time dispatch
+    light_kinds: Tuple[int, ...] = struct.field(pytree_node=False)
+
+    @property
+    def num_prims(self) -> int:
+        return self.v0.shape[0]
+
+
+def _bsdf_record(b) -> Tuple[int, np.ndarray, np.ndarray, float]:
+    if isinstance(b, DiffuseBSDF):
+        return BSDF_DIFFUSE, b.albedo, np.zeros(3), 1.0
+    if isinstance(b, MirrorBSDF):
+        return BSDF_MIRROR, b.reflectance, np.zeros(3), 1.0
+    if isinstance(b, RefractionBSDF):
+        return BSDF_REFRACTION, b.transmittance, np.zeros(3), b.ior
+    if isinstance(b, GlassBSDF):
+        # albedo slot carries transmittance; reflectance folded via ior
+        return BSDF_GLASS, b.transmittance, b.reflectance, b.ior
+    if isinstance(b, EmissionBSDF):
+        # the reference flattens emitters as fn=0 with radiance
+        # (cudaRenderer.cu:1705-1713); we tag them explicitly
+        return BSDF_EMISSION, np.zeros(3), b.radiance, 1.0
+    raise TypeError(f"unsupported BSDF {type(b)}")
+
+
+def flatten_scene(
+    scene: st.Scene,
+    tree_width: int = 4,
+    max_leaf_size: int = 32,
+    sah_bins: int = 12,
+) -> Tuple[FlatScene, BVHAccel]:
+    """Flatten a static scene: build the SAH BVH over all primitives
+    (triangles + spheres) and emit device arrays in BVH order."""
+    tri_v: List[np.ndarray] = []
+    tri_n: List[np.ndarray] = []
+    tri_bsdf: List[np.ndarray] = []
+    sph_c: List[np.ndarray] = []
+    sph_r: List[float] = []
+    sph_bsdf: List[int] = []
+
+    bsdfs: List = []
+
+    def bsdf_index(b) -> int:
+        for i, x in enumerate(bsdfs):
+            if x is b:
+                return i
+        bsdfs.append(b)
+        return len(bsdfs) - 1
+
+    for obj in scene.objects:
+        if isinstance(obj, st.Mesh):
+            if obj.num_triangles() == 0:
+                continue
+            v, n = obj.triangle_arrays()
+            tri_v.append(v)
+            tri_n.append(n)
+            tri_bsdf.append(np.full(len(v), bsdf_index(obj.get_bsdf()), np.int32))
+        elif isinstance(obj, st.SphereObject):
+            sph_c.append(obj.o)
+            sph_r.append(obj.r)
+            sph_bsdf.append(bsdf_index(obj.get_bsdf()))
+
+    T = sum(len(v) for v in tri_v)
+    S = len(sph_c)
+    P = T + S
+    if P == 0:
+        raise ValueError("scene has no primitives")
+
+    v0 = np.zeros((P, 3), np.float64)
+    v1 = np.zeros((P, 3), np.float64)
+    v2 = np.zeros((P, 3), np.float64)
+    n0 = np.zeros((P, 3), np.float64)
+    n1 = np.zeros((P, 3), np.float64)
+    n2 = np.zeros((P, 3), np.float64)
+    ptype = np.zeros(P, np.int32)
+    pbsdf = np.zeros(P, np.int32)
+
+    if T:
+        tv = np.concatenate(tri_v)
+        tn = np.concatenate(tri_n)
+        v0[:T], v1[:T], v2[:T] = tv[:, 0], tv[:, 1], tv[:, 2]
+        n0[:T], n1[:T], n2[:T] = tn[:, 0], tn[:, 1], tn[:, 2]
+        pbsdf[:T] = np.concatenate(tri_bsdf)
+    if S:
+        centers = np.stack(sph_c)
+        radii = np.asarray(sph_r)
+        ptype[T:] = PRIM_SPHERE
+        v0[T:] = centers
+        v1[T:, 0] = radii
+        pbsdf[T:] = np.asarray(sph_bsdf, np.int32)
+
+    # primitive bounds: padded triangle bbox (triangle.cpp:38-46) /
+    # sphere bbox
+    pmin = np.where(
+        (ptype == PRIM_TRI)[:, None],
+        np.minimum(np.minimum(v0, v1), v2) - st.Triangle.PADDING,
+        v0 - v1[:, :1],
+    )
+    pmax = np.where(
+        (ptype == PRIM_TRI)[:, None],
+        np.maximum(np.maximum(v0, v1), v2) + st.Triangle.PADDING,
+        v0 + v1[:, :1],
+    )
+
+    bvh = BVHAccel(pmin, pmax, max_leaf_size=max_leaf_size, sah_bins=sah_bins)
+    order = bvh.get_sorted_order()
+    flat = build_flat_wide_bvh(bvh, tree_width)
+
+    # BSDF table
+    B = max(len(bsdfs), 1)
+    bfn = np.zeros(B, np.int32)
+    balbedo = np.zeros((B, 3), np.float64)
+    brad = np.zeros((B, 3), np.float64)
+    bior = np.ones(B, np.float64)
+    for i, b in enumerate(bsdfs):
+        bfn[i], balbedo[i], brad[i], bior[i] = _bsdf_record(b)
+
+    # light table
+    lt, lrad, lpos, ldir, ldx, ldy, larea = [], [], [], [], [], [], []
+    for light in scene.lights:
+        if isinstance(light, st.AreaLight):
+            lt.append(LIGHT_AREA)
+            lrad.append(light.radiance)
+            lpos.append(light.position)
+            ldir.append(light.direction)
+            ldx.append(light.dim_x)
+            ldy.append(light.dim_y)
+            larea.append(light.area)
+        elif isinstance(light, st.PointLight):
+            lt.append(LIGHT_POINT)
+            lrad.append(light.radiance)
+            lpos.append(light.position)
+            ldir.append(np.zeros(3))
+            ldx.append(np.zeros(3))
+            ldy.append(np.zeros(3))
+            larea.append(0.0)
+        elif isinstance(light, st.DirectionalLight):
+            lt.append(LIGHT_DIRECTIONAL)
+            lrad.append(light.radiance)
+            lpos.append(np.zeros(3))
+            ldir.append(light.dirToLight)
+            ldx.append(np.zeros(3))
+            ldy.append(np.zeros(3))
+            larea.append(0.0)
+        elif isinstance(light, st.InfiniteHemisphereLight):
+            lt.append(LIGHT_HEMISPHERE)
+            lrad.append(light.radiance)
+            lpos.append(np.zeros(3))
+            ldir.append(np.zeros(3))
+            ldx.append(np.zeros(3))
+            ldy.append(np.zeros(3))
+            larea.append(0.0)
+        elif isinstance(light, st.SpotLight):
+            lt.append(LIGHT_SPOT)
+            lrad.append(light.radiance)
+            lpos.append(light.position)
+            ldir.append(light.direction)
+            ldx.append(np.zeros(3))
+            ldy.append(np.zeros(3))
+            larea.append(float(light.angle))
+        # other light kinds contribute nothing to the device path (yet)
+
+    num_device_lights = len(lt)
+    if not lt:  # keep shapes static with one dead light
+        lt, lrad, lpos, ldir, ldx, ldy, larea = (
+            [LIGHT_POINT],
+            [np.zeros(3)],
+            [np.zeros(3)],
+            [np.zeros(3)],
+            [np.zeros(3)],
+            [np.zeros(3)],
+            [0.0],
+        )
+
+    f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)  # noqa: E731
+    i32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)  # noqa: E731
+
+    level_inner = tuple(
+        int((flat.leaf_range[lv] == 0).sum()) for lv in flat.levels
+    )
+    level_leaf = tuple(
+        int((flat.leaf_range[lv] > 0).sum()) for lv in flat.levels
+    )
+    flat_bvh = FlatBVH(
+        outlets=i32(flat.outlets),
+        child_min=f32(flat.child_min),
+        child_max=f32(flat.child_max),
+        leaf_start=i32(flat.leaf_start),
+        leaf_range=i32(flat.leaf_range),
+        levels=tuple(tuple(int(i) for i in lv) for lv in flat.levels),
+        level_inner=level_inner,
+        level_leaf=level_leaf,
+        width=flat.width,
+        max_leaf=max(flat.max_leaf_range, 1),
+        root_is_leaf=bool(flat.leaf_range[0] > 0),
+    )
+
+    fscene = FlatScene(
+        prim_type=i32(ptype[order]),
+        v0=f32(v0[order]),
+        v1=f32(v1[order]),
+        v2=f32(v2[order]),
+        n0=f32(n0[order]),
+        n1=f32(n1[order]),
+        n2=f32(n2[order]),
+        prim_bsdf=i32(pbsdf[order]),
+        bsdf_fn=i32(bfn),
+        bsdf_albedo=f32(balbedo),
+        bsdf_radiance=f32(brad),
+        bsdf_ior=f32(bior),
+        light_type=i32(lt),
+        light_radiance=f32(np.stack(lrad)),
+        light_position=f32(np.stack(lpos)),
+        light_direction=f32(np.stack(ldir)),
+        light_dim_x=f32(np.stack(ldx)),
+        light_dim_y=f32(np.stack(ldy)),
+        light_area=f32(larea),
+        bvh=flat_bvh,
+        num_lights=num_device_lights,
+        light_kinds=tuple(int(t) for t in lt),
+    )
+    return fscene, bvh
