@@ -33,8 +33,12 @@ class RenderConfig:
 
     # ---- wavefront queues ----
     #: queue capacity multiplier: per-level entry capacity = multiplier * num
-    #: rays (reference queueSize = numRays*TREE_WIDTH*4, cudaRenderer.cu:1920).
-    queue_multiplier: int = 4
+    #: rays (reference queueSize = numRays*TREE_WIDTH*4, cudaRenderer.cu:1920;
+    #: 2 is ample in practice — overflows are counted and reported).
+    queue_multiplier: int = 2
+    #: traversal backend: "auto" = Pallas block-wavefront kernels on TPU,
+    #: XLA scan elsewhere; "pallas" / "xla" force one.
+    traversal: str = "auto"
     #: ray-block size for the Pallas traversal kernels (reference
     #: RAYS_PER_BLOCK=64; TPU VPU tiles prefer multiples of 8*128).
     rays_per_block: int = 1024

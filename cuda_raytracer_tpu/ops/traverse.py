@@ -120,21 +120,31 @@ def trace_closest(
         def step(carry, inp):
             best_bits, best_prim = carry
             c_ray, c_node, c_valid = inp
-            start = bvh.leaf_start[c_node]
-            rng = bvh.leaf_range[c_node]
+            cc = c_ray.shape[0]
+            # one wide-row gather per table (fast gather emitter); the
+            # optimization barrier keeps XLA from re-fusing the gather
+            # into the arithmetic (a fused loop-gather serializes on TPU)
+            nrows = jax.lax.optimization_barrier(bvh.node_packed[c_node])
+            start = nrows[:, 7 * W].astype(jnp.int32)
+            rng = nrows[:, 7 * W + 1].astype(jnp.int32)
             pid = start[:, None] + k[None, :]  # [C, K]
             pmask = k[None, :] < rng[:, None]
             pid_c = jnp.clip(pid, 0, P - 1)
-            o_e = o[c_ray][:, None, :]
-            d_e = d[c_ray][:, None, :]
-            t = intersect_prim(
-                o_e,
-                d_e,
-                scene.prim_type[pid_c],
-                scene.v0[pid_c],
-                scene.v1[pid_c],
-                scene.v2[pid_c],
-            )  # [C, K]
+            prows = jax.lax.optimization_barrier(
+                scene.prim_packed[pid_c.reshape(-1)]
+            ).reshape(cc, K, -1)
+            rrows = jax.lax.optimization_barrier(
+                jnp.concatenate([o[c_ray], d[c_ray]], axis=1)
+            )
+            o_e = rrows[:, None, 0:3]
+            d_e = rrows[:, None, 3:6]
+            from .intersect import intersect_sphere, intersect_triangle
+
+            t_tri = intersect_triangle(
+                o_e, d_e, prows[..., 0:3], prows[..., 3:6], prows[..., 6:9]
+            )
+            t_sph = intersect_sphere(o_e, d_e, prows[..., 0:3], prows[..., 3])
+            t = jnp.where(prows[..., 9] < 0.5, t_tri, t_sph)  # [C, K]
             t = jnp.where(pmask & c_valid[:, None] & (t >= 0), t, INF_F32)
             kmin = jnp.argmin(t, axis=1)  # first (lowest-pid) min
             tmin = jnp.take_along_axis(t, kmin[:, None], axis=1)[:, 0]
@@ -191,20 +201,29 @@ def trace_closest(
         def box_step(c, inp):
             best_bits = c
             c_ray, c_node, c_valid = inp
-            outlets = bvh.outlets[c_node]  # [Cc, W]
-            cmin = bvh.child_min[c_node]
-            cmax = bvh.child_max[c_node]
-            o_e = o[c_ray][:, None, :]
-            d_e = d[c_ray][:, None, :]
+            cc = c_ray.shape[0]
+            nrows = jax.lax.optimization_barrier(bvh.node_packed[c_node])
+            cmin = nrows[:, 0 : 3 * W].reshape(cc, W, 3)
+            cmax = nrows[:, 3 * W : 6 * W].reshape(cc, W, 3)
+            outlets_f = nrows[:, 6 * W : 7 * W]
+            child_leaf_f = nrows[:, 7 * W + 2 : 8 * W + 2]
+            rrows = jax.lax.optimization_barrier(
+                jnp.concatenate(
+                    [o[c_ray], d[c_ray], _bits2f(best_bits[c_ray])[:, None]],
+                    axis=1,
+                )
+            )
+            o_e = rrows[:, None, 0:3]
+            d_e = rrows[:, None, 3:6]
+            best_f = rrows[:, 6]
             tbox = intersect_bbox(o_e, d_e, cmin, cmax)  # [Cc, W]
-            best_f = _bits2f(best_bits[c_ray])
             hit = (
                 c_valid[:, None]
-                & (outlets >= 0)
+                & (outlets_f >= 0)
                 & (tbox >= 0)
                 & (tbox <= best_f[:, None])
             )
-            return best_bits, (hit, outlets)
+            return best_bits, (hit, outlets_f.astype(jnp.int32), child_leaf_f > 0.5)
 
         nc = max(_cdiv(C, INNER_CHUNK), 1)
         chunk = _cdiv(C, nc)
@@ -215,17 +234,22 @@ def trace_closest(
                 a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
             ins.append(a.reshape(nc, chunk))
         if nc == 1:
-            _, (hit, outlets) = box_step(best_bits, tuple(a[0] for a in ins))
+            _, (hit, outlets, child_leaf) = box_step(
+                best_bits, tuple(a[0] for a in ins)
+            )
         else:
-            _, (hit, outlets) = jax.lax.scan(box_step, best_bits, tuple(ins))
-            hit = hit.reshape(-1, W)[:C]
-            outlets = outlets.reshape(-1, W)[:C]
+            _, (hit, outlets, child_leaf) = jax.lax.scan(
+                box_step, best_bits, tuple(ins)
+            )
+            hit = hit.reshape(-1, W)
+            outlets = outlets.reshape(-1, W)
+            child_leaf = child_leaf.reshape(-1, W)
         hit = hit[:C]
         outlets = outlets[:C]
+        child_leaf = child_leaf[:C].reshape(-1)
 
         push_ray = jnp.broadcast_to(e_ray[:, None], (C, W)).reshape(-1)
         push_node = jnp.clip(outlets.reshape(-1), 0, bvh.leaf_range.shape[0] - 1)
-        child_leaf = bvh.leaf_range[push_node] > 0
         hit_flat = hit.reshape(-1)
 
         # leaf children: intersect now

@@ -37,6 +37,7 @@ from ..config import DEFAULT_CONFIG, RenderConfig
 from ..ops import filters as F
 from ..ops import shade as S
 from ..ops.traverse import trace_closest
+from ..ops.pallas.wavefront import trace_closest_wavefront
 from ..scene import static_scene as st
 from ..scene.camera import Camera, CutracerCamera
 from ..scene.collada import load_scene_info
@@ -150,7 +151,18 @@ class WavefrontRenderer:
                 math.tan(math.radians(self.camera.vFov) / 2),
             )
 
-        def trace(scene, o, d, valid):
+        use_pallas = cfg.traversal == "pallas" or (
+            cfg.traversal == "auto" and jax.default_backend() == "tpu"
+        )
+
+        def trace(scene, o, d, valid, t_limit=None):
+            if use_pallas:
+                # reference-compat shadow semantics need hits beyond maxT,
+                # so only prune by t_limit in the default mode
+                tl = None if cfg.reference_compat else t_limit
+                return trace_closest_wavefront(
+                    scene, o, d, valid, tl, cfg.queue_multiplier
+                )
             return trace_closest(scene, o, d, valid, cfg.queue_multiplier)
 
         def shade_hit(scene, o, d, t, prim, importance, light, count_emission):
@@ -192,6 +204,7 @@ class WavefrontRenderer:
         self._jit = {
             "raygen": jax.jit(raygen),
             "trace": jax.jit(trace),
+            "trace_shadow": jax.jit(trace),
             "shade_hit": jax.jit(shade_hit),
             "nee_prep": jax.jit(nee_prep, static_argnums=(4, 5)),
             "nee_accum": jax.jit(nee_accum),
@@ -230,7 +243,7 @@ class WavefrontRenderer:
                     o_s, d_s, max_t, li_imp, ok = J["nee_prep"](
                         scene, hit, importance, k_u, li, float(weight)
                     )
-                    res_s = J["trace"](scene, o_s, d_s, ok)
+                    res_s = J["trace_shadow"](scene, o_s, d_s, ok, max_t)
                     dropped = dropped + res_s.dropped
                     light = J["nee_accum"](
                         light, res_s.t, res_s.prim, max_t, li_imp, ok

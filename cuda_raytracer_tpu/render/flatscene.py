@@ -62,6 +62,11 @@ class FlatBVH:
     child_max: jnp.ndarray  # [N, W, 3] f32
     leaf_start: jnp.ndarray  # [N] int32
     leaf_range: jnp.ndarray  # [N] int32 (>0 iff leaf)
+    #: packed per-node row for the traversal hot path (one wide gather):
+    #: [cmin[W,3] (3W), cmax[W,3] (3W), outlets as f32 (W; -1 = none),
+    #: leaf_start, leaf_range, child_is_leaf flags (W)] = 8W+2 f32,
+    #: zero-padded to a multiple of 8
+    node_packed: jnp.ndarray  # [N, pad8(8W+2)] f32
     # static metadata (not traced)
     levels: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False)
     #: per-level (inner-node count, leaf-node count) — sizes the static
@@ -105,6 +110,12 @@ class FlatScene:
     light_dim_x: jnp.ndarray  # [L, 3] f32
     light_dim_y: jnp.ndarray  # [L, 3] f32
     light_area: jnp.ndarray  # [L] f32
+
+    #: packed per-primitive row for the traversal hot path: columns
+    #: [v0.xyz, v1.xyz, v2.xyz, type, 0...] (16 f32).  One wide-row
+    #: gather hits XLA's fast gather emitter; narrow per-field gathers
+    #: fused into loop fusions serialize on TPU.
+    prim_packed: jnp.ndarray  # [P, 16] f32
 
     bvh: FlatBVH
 
@@ -292,12 +303,35 @@ def flatten_scene(
     level_leaf = tuple(
         int((flat.leaf_range[lv] > 0).sum()) for lv in flat.levels
     )
+    w = flat.width
+    child_clipped = np.clip(flat.outlets, 0, len(flat.outlets) - 1)
+    child_is_leaf = (flat.leaf_range[child_clipped] > 0) & (flat.outlets >= 0)
+    node_packed = np.concatenate(
+        [
+            flat.child_min.reshape(-1, 3 * w),
+            flat.child_max.reshape(-1, 3 * w),
+            flat.outlets.astype(np.float32),
+            flat.leaf_start[:, None].astype(np.float32),
+            flat.leaf_range[:, None].astype(np.float32),
+            child_is_leaf.astype(np.float32),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    # pad rows to 128 columns: Pallas DMA slices must be lane-tile
+    # (128) aligned on the minor dimension
+    pad_cols = (-node_packed.shape[1]) % 128
+    if pad_cols:
+        node_packed = np.concatenate(
+            [node_packed, np.zeros((len(node_packed), pad_cols), np.float32)],
+            axis=1,
+        )
     flat_bvh = FlatBVH(
         outlets=i32(flat.outlets),
         child_min=f32(flat.child_min),
         child_max=f32(flat.child_max),
         leaf_start=i32(flat.leaf_start),
         leaf_range=i32(flat.leaf_range),
+        node_packed=f32(node_packed),
         levels=tuple(tuple(int(i) for i in lv) for lv in flat.levels),
         level_inner=level_inner,
         level_leaf=level_leaf,
@@ -305,6 +339,15 @@ def flatten_scene(
         max_leaf=max(flat.max_leaf_range, 1),
         root_is_leaf=bool(flat.leaf_range[0] > 0),
     )
+
+    # packed prim rows padded to 128 columns (Pallas lane-tile DMA
+    # alignment) with max_leaf_size degenerate rows appended so the leaf
+    # kernel's static-size [max_leaf, 128] DMA never overruns the table
+    prim_packed = np.zeros((P + max_leaf_size + 8, 128))
+    prim_packed[:P, 0:3] = v0[order]
+    prim_packed[:P, 3:6] = v1[order]
+    prim_packed[:P, 6:9] = v2[order]
+    prim_packed[:P, 9] = ptype[order]
 
     fscene = FlatScene(
         prim_type=i32(ptype[order]),
@@ -315,6 +358,7 @@ def flatten_scene(
         n1=f32(n1[order]),
         n2=f32(n2[order]),
         prim_bsdf=i32(pbsdf[order]),
+        prim_packed=f32(prim_packed),
         bsdf_fn=i32(bfn),
         bsdf_albedo=f32(balbedo),
         bsdf_radiance=f32(brad),
