@@ -35,7 +35,7 @@ class RenderConfig:
     #: queue capacity multiplier: per-level entry capacity = multiplier * num
     #: rays (reference queueSize = numRays*TREE_WIDTH*4, cudaRenderer.cu:1920;
     #: 2 is ample in practice — overflows are counted and reported).
-    queue_multiplier: int = 2
+    queue_multiplier: int = 4
     #: traversal backend: "auto" = Pallas block-wavefront kernels on TPU,
     #: XLA scan elsewhere; "pallas" / "xla" force one.
     traversal: str = "auto"

@@ -69,6 +69,16 @@ class FlatBVH:
     node_packed: jnp.ndarray  # [N, pad8(8W+2)] f32
     # static metadata (not traced)
     levels: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False)
+    #: per level: flattened child-validity pattern (outlets >= 0) of the
+    #: level's nodes in order — static schedule metadata for the Pallas
+    #: wavefront (levels[l+1] == valid children of levels[l], preorder)
+    level_child_valid: Tuple[Tuple[bool, ...], ...] = struct.field(
+        pytree_node=False
+    )
+    #: per level: leaf-ness of each node, in level order (static)
+    level_is_leaf: Tuple[Tuple[bool, ...], ...] = struct.field(
+        pytree_node=False
+    )
     #: per-level (inner-node count, leaf-node count) — sizes the static
     #: per-level queue capacities under jit
     level_inner: Tuple[int, ...] = struct.field(pytree_node=False)
@@ -300,6 +310,14 @@ def flatten_scene(
     level_inner = tuple(
         int((flat.leaf_range[lv] == 0).sum()) for lv in flat.levels
     )
+    level_child_valid = tuple(
+        tuple(bool(x) for x in (flat.outlets[lv] >= 0).reshape(-1))
+        for lv in flat.levels
+    )
+    level_is_leaf = tuple(
+        tuple(bool(x) for x in (flat.leaf_range[lv] > 0))
+        for lv in flat.levels
+    )
     level_leaf = tuple(
         int((flat.leaf_range[lv] > 0).sum()) for lv in flat.levels
     )
@@ -333,6 +351,8 @@ def flatten_scene(
         leaf_range=i32(flat.leaf_range),
         node_packed=f32(node_packed),
         levels=tuple(tuple(int(i) for i in lv) for lv in flat.levels),
+        level_child_valid=level_child_valid,
+        level_is_leaf=level_is_leaf,
         level_inner=level_inner,
         level_leaf=level_leaf,
         width=flat.width,
