@@ -334,6 +334,39 @@ class WavefrontRenderer:
             self.cutracer_camera.look_at = -z
         self._reset_accumulation()
 
+    # -- checkpoint / resume ----------------------------------------------
+    # The reference has no render checkpointing (accumulation state is
+    # device-only and lost on exit; SURVEY.md section 5) — this saves
+    # the accumulated framebuffer + sample count + RNG position, so a
+    # long accumulation can resume exactly.
+    def save_checkpoint(self, path: str) -> None:
+        if self._final_image is None:
+            raise RuntimeError(
+                "nothing to checkpoint: no frame rendered yet"
+            )
+        np.savez(
+            path,
+            final_image=np.asarray(self._final_image),
+            image_samples=self.image_samples,
+            frame_index=self.frame_index,
+            seed=self.config.seed,
+            width=self.config.width,
+            height=self.config.height,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path)
+        if (int(data["width"]), int(data["height"])) != (
+            self.config.width, self.config.height
+        ):
+            raise ValueError("checkpoint resolution mismatch")
+        if int(data["seed"]) != self.config.seed:
+            raise ValueError("checkpoint RNG seed mismatch")
+        self._final_image = jnp.asarray(data["final_image"])
+        self.image_samples = int(data["image_samples"])
+        self.frame_index = int(data["frame_index"])
+        self._post_image = None
+
     @property
     def mrays_per_frame(self) -> float:
         """Total rays traced per frame (camera + shadow + bounce)."""
