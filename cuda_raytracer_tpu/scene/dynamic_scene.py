@@ -92,6 +92,23 @@ class Mesh(SceneObject):
         self.rotations = Spline()
         self.scales = Spline()
         self.scales.set_value(0.0, np.array([1.0, 1.0, 1.0]))
+        # current editable TRS, snapshotted into the splines by
+        # keyframe() (mesh.cpp:67-72 reads these live fields)
+        self.position = np.zeros(3)
+        self.rotation = np.zeros(3)  # Euler XYZ, degrees
+        self.scale = np.array([1.0, 1.0, 1.0])
+
+    def keyframe(self, t: float) -> None:
+        """Snapshot the current TRS into the splines (mesh.cpp:67-72)."""
+        self.positions.set_value(t, np.array(self.position, dtype=np.float64))
+        self.rotations.set_value(t, np.array(self.rotation, dtype=np.float64))
+        self.scales.set_value(t, np.array(self.scale, dtype=np.float64))
+
+    def unkeyframe(self, t: float) -> None:
+        """Drop knots near ``t`` (mesh.cpp:74-79, tolerance 0.1)."""
+        self.positions.remove_knot(t, 0.1)
+        self.rotations.remove_knot(t, 0.1)
+        self.scales.remove_knot(t, 0.1)
 
     def get_bbox(self):
         return self.mesh.bbox()
