@@ -323,7 +323,12 @@ def nee_shadow_rays(
         & (cos_surf > 1e-2)
     )
     li = jnp.where(ok[:, None], li, 0.0)
-    return hit.pt, wi, dist, li, ok
+    # clamp infinite-light distances (hemisphere/directional) to the
+    # finite no-limit sentinel: a literal inf maxT makes the visibility
+    # test `t > maxT - eps` unsatisfiable even on a miss, and inf
+    # payloads poison the Pallas one-hot matmuls (inf * 0 = NaN)
+    max_t = jnp.minimum(dist, 1e30)
+    return hit.pt, wi, max_t, li, ok
 
 
 # ---------------------------------------------------------------------------

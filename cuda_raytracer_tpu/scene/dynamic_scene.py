@@ -122,6 +122,22 @@ class Mesh(SceneObject):
     def get_static_object(self) -> static_scene.Mesh:
         return self._to_static(self.mesh.vertices)
 
+    # -- halfedge editing (mesh.h local-op forwarding) ---------------------
+    def halfedge_mesh(self):
+        """Editable halfedge view of this mesh (built lazily; edits
+        mutate it in place and are synced back via _sync_from_halfedge)."""
+        from ..geometry import HalfedgeMesh
+
+        if getattr(self, "_hm", None) is None:
+            self._hm = HalfedgeMesh(
+                [list(p) for p in self.mesh.polygons], self.mesh.vertices
+            )
+        return self._hm
+
+    def _sync_from_halfedge(self) -> None:
+        positions, polys = self._hm.to_polygon_soup()
+        self.mesh = PolygonMesh(positions, polys)
+
     def get_transformed_static_object(self, t: float) -> static_scene.Mesh:
         """Apply the animated TRS at time ``t`` to every vertex
         (mesh.cpp:746-788)."""
@@ -267,6 +283,91 @@ class Scene:
     def __init__(self, objects: List[SceneObject], lights: List[SceneLight]):
         self.objects = objects
         self.lights = lights
+        #: current edit selection: (Mesh object, halfedge element) —
+        #: element handles are invalidated by every edit, like the
+        #: reference's Selection (scene.h:262-272)
+        self.selected_object: Optional[Mesh] = None
+        self.selected_element = None
+
+    # -- mesh-edit dispatch (scene.h:275-290) ------------------------------
+    def select(self, obj: "Mesh", element=None) -> None:
+        self.selected_object = obj
+        self.selected_element = element
+
+    def _edit(self, op, element_types) -> bool:
+        from ..geometry.halfedge import Edge, Face, Vertex  # noqa: F401
+
+        obj, el = self.selected_object, self.selected_element
+        if obj is None or el is None or not isinstance(el, element_types):
+            return False
+        result = op(obj.halfedge_mesh(), el)
+        if result is None:
+            return False
+        obj._sync_from_halfedge()
+        self.selected_element = result
+        return True
+
+    def collapse_selected_element(self) -> bool:
+        from ..geometry.halfedge import Edge, Face
+        from ..geometry.meshedit import collapse_edge, collapse_face
+
+        if isinstance(self.selected_element, Face):
+            return self._edit(collapse_face, Face)
+        return self._edit(collapse_edge, Edge)
+
+    def flip_selected_edge(self) -> bool:
+        from ..geometry.halfedge import Edge
+        from ..geometry.meshedit import flip_edge
+
+        return self._edit(flip_edge, Edge)
+
+    def split_selected_edge(self) -> bool:
+        from ..geometry.halfedge import Edge
+        from ..geometry.meshedit import split_edge
+
+        return self._edit(split_edge, Edge)
+
+    def erase_selected_element(self) -> bool:
+        from ..geometry.halfedge import Edge, Vertex
+        from ..geometry.meshedit import erase_edge, erase_vertex
+
+        if isinstance(self.selected_element, Vertex):
+            return self._edit(erase_vertex, Vertex)
+        return self._edit(erase_edge, Edge)
+
+    def _whole_mesh_edit(self, op) -> bool:
+        obj = self.selected_object
+        if obj is None:
+            return False
+        op(obj.halfedge_mesh())
+        obj._sync_from_halfedge()
+        self.selected_element = None
+        return True
+
+    def upsample_selected_mesh(self) -> bool:
+        from ..geometry.meshedit import MeshResampler
+
+        return self._whole_mesh_edit(MeshResampler.upsample)
+
+    def downsample_selected_mesh(self) -> bool:
+        from ..geometry.meshedit import MeshResampler
+
+        return self._whole_mesh_edit(MeshResampler.downsample)
+
+    def resample_selected_mesh(self) -> bool:
+        from ..geometry.meshedit import MeshResampler
+
+        return self._whole_mesh_edit(MeshResampler.resample)
+
+    def triangulate_selection(self) -> bool:
+        return self._whole_mesh_edit(lambda hm: hm.triangulate())
+
+    def subdivide_selection(self, use_catmull_clark: bool = False) -> bool:
+        from ..geometry.meshedit import subdivide
+
+        return self._whole_mesh_edit(
+            lambda hm: subdivide(hm, catmull_clark=use_catmull_clark)
+        )
 
     def get_bbox(self):
         mins, maxs = [], []

@@ -107,3 +107,30 @@ def test_reset_on_move():
     r.set_viewpoint([0, 0.75, 2.0], [0, 0.75, 0])
     assert r.image_samples == 0
     assert np.all(r.get_raw_image() == 0)
+
+
+def test_infinite_light_nee_not_black():
+    """Regression: maxT=inf from hemisphere/directional lights made the
+    shadow visibility test unsatisfiable, killing all NEE light."""
+    from cuda_raytracer_tpu.scene import static_scene as st
+    from cuda_raytracer_tpu.scene.bsdf import DiffuseBSDF
+
+    floor = st.Mesh(
+        np.array([[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]], float),
+        np.tile([[0.0, 1.0, 0.0]], (4, 1)),
+        np.array([[0, 1, 2], [0, 2, 3]]),
+        DiffuseBSDF(np.array([0.8, 0.8, 0.8])),
+    )
+    for light in (
+        st.InfiniteHemisphereLight(np.array([1.0, 1.0, 1.0])),
+        st.DirectionalLight(np.array([1.0, 1.0, 1.0]),
+                            np.array([-0.3, -1.0, -0.2])),
+    ):
+        cfg = RenderConfig(width=32, height=24, samples_per_frame=4)
+        r = WavefrontRenderer(cfg)
+        r.load_static_scene(st.Scene([floor], [light]))
+        r.set_viewpoint([0, 2, 5], [0, 0, 0])
+        r.render()
+        img = r.get_raw_image()
+        assert img.max() > 0.05, f"{light.__class__.__name__} NEE black"
+        assert np.all(np.isfinite(img))
