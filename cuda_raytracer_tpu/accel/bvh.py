@@ -61,19 +61,26 @@ class BVHAccel:
     """
 
     def __init__(self, prim_min: np.ndarray, prim_max: np.ndarray,
-                 max_leaf_size: int = 32, sah_bins: int = 12):
+                 max_leaf_size: int = 32, sah_bins: int = 12,
+                 backend: str = "auto"):
         self.prim_min = np.asarray(prim_min, dtype=np.float64)
         self.prim_max = np.asarray(prim_max, dtype=np.float64)
         assert self.prim_min.shape == self.prim_max.shape
         self.max_leaf_size = max_leaf_size
         self.sah_bins = sah_bins
         self.centroids = (self.prim_min + self.prim_max) * 0.5
+        self.backend_used = "numpy"
 
         n = len(self.prim_min)
         if n == 0:
             self.root = BVHNode(np.zeros(3), np.zeros(3), 0, 0)
             self.sorted_order = np.zeros(0, dtype=np.int64)
             return
+
+        if backend in ("auto", "native") and self._build_native():
+            return
+        if backend == "native":
+            raise RuntimeError("native BVH builder unavailable")
 
         # one centroid argsort per axis, maintained through splits
         orders = [np.argsort(self.centroids[:, a], kind="stable") for a in range(3)]
@@ -86,6 +93,51 @@ class BVHAccel:
         #: vector in place; getSortedPrimitives(), src/bvh.cpp:384-386).
         self.sorted_order = np.zeros(n, dtype=np.int64)
         self.root = self._build(orders, 0, n, root_min, root_max)
+
+    def _build_native(self) -> bool:
+        """Build through the C++ builder (native/bvh_builder.cpp); the
+        tree is bit-identical to the numpy path."""
+        import ctypes
+
+        from ..native import load_library
+
+        lib = load_library()
+        if lib is None:
+            return False
+        n = len(self.prim_min)
+        cap = 2 * n + 1
+        pmin = np.ascontiguousarray(self.prim_min)
+        pmax = np.ascontiguousarray(self.prim_max)
+        sorted_order = np.zeros(n, dtype=np.int64)
+        node_bounds = np.zeros((cap, 6), dtype=np.float64)
+        node_info = np.zeros((cap, 4), dtype=np.int64)
+        count = lib.bvh_build(
+            pmin.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            pmax.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n, self.max_leaf_size, self.sah_bins,
+            sorted_order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            node_bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            node_info.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap,
+        )
+        if count <= 0:
+            return False
+        self.sorted_order = sorted_order
+
+        bounds = node_bounds[:count]
+        info = node_info[:count]
+        nodes = [
+            BVHNode(bounds[i, :3], bounds[i, 3:], int(info[i, 0]),
+                    int(info[i, 1]))
+            for i in range(count)
+        ]
+        left = info[:, 2]
+        for i in np.nonzero(left >= 0)[0]:
+            nodes[i].l = nodes[int(info[i, 2])]
+            nodes[i].r = nodes[int(info[i, 3])]
+        self.root = nodes[0]
+        self.backend_used = "native"
+        return True
 
     # -- recursive split (src/bvh.cpp:48-230) -----------------------------
     def _build(self, orders: np.ndarray, start: int, end: int,

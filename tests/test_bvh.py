@@ -107,3 +107,46 @@ def test_child_boxes_match_subtree_extent():
             ids = leaf_prims(c)
             assert np.all(pmin[ids] >= flat.child_min[i, k] - 1e-5)
             assert np.all(pmax[ids] <= flat.child_max[i, k] + 1e-5)
+
+
+def test_native_builder_matches_numpy():
+    """The C++ builder must produce a bit-identical tree to numpy."""
+    import pytest
+
+    from cuda_raytracer_tpu.native import load_library
+
+    if load_library() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    n = 3000
+    c = rng.random((n, 3)) * 10
+    h = rng.random((n, 3)) * 0.3
+    a = BVHAccel(c - h, c + h, max_leaf_size=4, backend="native")
+    b = BVHAccel(c - h, c + h, max_leaf_size=4, backend="numpy")
+    assert a.backend_used == "native"
+    np.testing.assert_array_equal(a.sorted_order, b.sorted_order)
+
+    def walk(x, y):
+        np.testing.assert_allclose(x.bb_min, y.bb_min)
+        np.testing.assert_allclose(x.bb_max, y.bb_max)
+        assert (x.start, x.range, x.is_leaf) == (y.start, y.range, y.is_leaf)
+        if not x.is_leaf:
+            walk(x.l, y.l)
+            walk(x.r, y.r)
+
+    import sys
+
+    sys.setrecursionlimit(50000)
+    walk(a.root, b.root)
+
+
+def test_native_builder_empty_and_single():
+    from cuda_raytracer_tpu.native import load_library
+
+    if load_library() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    one = np.array([[0.0, 0.0, 0.0]])
+    t = BVHAccel(one, one + 1, backend="native")
+    assert t.root.is_leaf and t.root.range == 1
