@@ -97,18 +97,25 @@ class Mesh(SceneObject):
         self.position = np.zeros(3)
         self.rotation = np.zeros(3)  # Euler XYZ, degrees
         self.scale = np.array([1.0, 1.0, 1.0])
+        #: optional animation rig (mesh.h skeleton field)
+        self.skeleton = None
 
     def keyframe(self, t: float) -> None:
-        """Snapshot the current TRS into the splines (mesh.cpp:67-72)."""
+        """Snapshot the current TRS into the splines (mesh.cpp:67-72);
+        forwards to the skeleton when rigged."""
         self.positions.set_value(t, np.array(self.position, dtype=np.float64))
         self.rotations.set_value(t, np.array(self.rotation, dtype=np.float64))
         self.scales.set_value(t, np.array(self.scale, dtype=np.float64))
+        if self.skeleton is not None:
+            self.skeleton.keyframe(t)
 
     def unkeyframe(self, t: float) -> None:
         """Drop knots near ``t`` (mesh.cpp:74-79, tolerance 0.1)."""
         self.positions.remove_knot(t, 0.1)
         self.rotations.remove_knot(t, 0.1)
         self.scales.remove_knot(t, 0.1)
+        if self.skeleton is not None:
+            self.skeleton.unkeyframe(t)
 
     def get_bbox(self):
         return self.mesh.bbox()
@@ -145,9 +152,12 @@ class Mesh(SceneObject):
         rot = self.rotations.evaluate(t, default=np.zeros(3))
         scale = self.scales.evaluate(t, default=np.array([1.0, 1.0, 1.0]))
         transform = _trs_matrix(pos, rot, scale)
-        hom = np.concatenate(
-            [self.mesh.vertices, np.ones((len(self.mesh.vertices), 1))], axis=1
-        )
+        base = self.mesh.vertices
+        if self.skeleton is not None:
+            # linear-blend skinning before the object TRS
+            # (mesh.cpp:48-50 stub, implemented in scene/skeleton.py)
+            base = self.skeleton.skin_vertices(base, t)
+        hom = np.concatenate([base, np.ones((len(base), 1))], axis=1)
         verts = (hom @ transform.T)[:, :3]
         return self._to_static(verts)
 
@@ -181,7 +191,13 @@ class AmbientLight(SceneLight):
 
 
 class DirectionalLight(SceneLight):
-    """directional_light.h:12-24."""
+    """directional_light.h:12-24.
+
+    Note the reference-faithful double negation: this negates
+    (directional_light.h:15) and the static light negates again
+    (light.cpp:15), so ``dirToLight`` ends up pointing ALONG the raw
+    collada ``light_info.direction`` — scenes must author direction as
+    surface-to-light."""
 
     def __init__(self, light_info: LightInfo, transform: np.ndarray):
         self.spectrum = np.asarray(light_info.spectrum, dtype=np.float64)
