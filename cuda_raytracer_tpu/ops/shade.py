@@ -30,6 +30,7 @@ from ..render.flatscene import (
     FlatScene,
     LIGHT_AREA,
     LIGHT_DIRECTIONAL,
+    LIGHT_ENV,
     LIGHT_HEMISPHERE,
     LIGHT_POINT,
     LIGHT_SPOT,
@@ -277,7 +278,46 @@ def sample_light(scene: FlatScene, light_idx: int, pt, u):
         wi = dvec / dist[:, None]
         inside = _dot(-wi, ldir) >= jnp.cos(angle / 2)
         return jnp.where(inside[:, None], rad, 0.0), wi, dist
+    if lt == LIGHT_ENV:
+        # luminance-weighted importance sample over the lat-long map
+        # (device mirror of static_scene.EnvironmentLight.sample_L)
+        h, w, _ = scene.env_map.shape
+        idx = jnp.clip(
+            jnp.searchsorted(scene.env_cdf, u[:, 0]), 0, h * w - 1
+        )
+        iy = idx // w
+        ix = idx % w
+        theta = (iy.astype(jnp.float32) + 0.5) / h * jnp.pi
+        phi = (ix.astype(jnp.float32) + 0.5) / w * 2.0 * jnp.pi
+        st_ = jnp.sin(theta)
+        wi = jnp.stack(
+            [st_ * jnp.cos(phi), jnp.cos(theta), st_ * jnp.sin(phi)], axis=-1
+        )
+        solid = (2.0 * jnp.pi / w) * (jnp.pi / h) * jnp.maximum(st_, 1e-8)
+        pdf = jnp.maximum(scene.env_pdf[idx] / solid, 1e-12)
+        le = scene.env_map.reshape(h * w, 3)[idx]
+        dist = jnp.full(pt.shape[:1], INF)
+        return le / pdf[:, None], wi, dist
     raise ValueError(f"unknown light type {lt}")
+
+
+def env_radiance(scene: FlatScene, d) -> jnp.ndarray:
+    """Environment radiance along (unit) world directions d [N,3]
+    (device mirror of EnvironmentLight.sample_dir; y-up lat-long)."""
+    h, w, _ = scene.env_map.shape
+    theta = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0))
+    phi = jnp.arctan2(d[:, 2], d[:, 0]) % (2.0 * jnp.pi)
+    iy = jnp.clip((theta / jnp.pi * h).astype(jnp.int32), 0, h - 1)
+    ix = jnp.clip((phi / (2.0 * jnp.pi) * w).astype(jnp.int32), 0, w - 1)
+    return scene.env_map[iy, ix]
+
+
+def env_miss_radiance(scene: FlatScene, d, importance, miss, count_emission):
+    """Radiance for escaped rays: importance-weighted env lookup on
+    counted paths (primary + delta chains; diffuse vertices get the
+    environment through NEE instead)."""
+    ok = miss & count_emission
+    return jnp.where(ok[:, None], importance * env_radiance(scene, d), 0.0)
 
 
 def nee_shadow_rays(

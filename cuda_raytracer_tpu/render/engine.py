@@ -165,12 +165,19 @@ class WavefrontRenderer:
                 )
             return trace_closest(scene, o, d, valid, cfg.queue_multiplier)
 
-        def shade_hit(scene, o, d, t, prim, importance, light, count_emission):
+        def shade_hit(scene, o, d, t, prim, valid, importance, light,
+                      count_emission):
             hit = S.compute_hits(scene, o, d, t, prim, cfg.origin_eps)
             if not cfg.reference_compat:
                 light = light + S.emission_at_hits(
                     scene, hit, importance, count_emission
                 )
+                if self.scene.has_env:
+                    # escaped counted paths pick up the environment
+                    miss = valid & (prim < 0)
+                    light = light + S.env_miss_radiance(
+                        scene, d, importance, miss, count_emission
+                    )
             return hit, light
 
         def nee_prep(scene, hit, importance, key, li, weight):
@@ -232,7 +239,8 @@ class WavefrontRenderer:
             res = J["trace"](scene, o, d, valid)
             dropped = dropped + res.dropped
             hit, light = J["shade_hit"](
-                scene, o, d, res.t, res.prim, importance, light, count_emission
+                scene, o, d, res.t, res.prim, valid, importance, light,
+                count_emission,
             )
             num_nee, weight = (
                 schedule[depth] if depth < len(schedule) else (0, 0.0)

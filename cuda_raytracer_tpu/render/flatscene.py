@@ -50,6 +50,7 @@ LIGHT_POINT = 1
 LIGHT_DIRECTIONAL = 2
 LIGHT_HEMISPHERE = 3
 LIGHT_SPOT = 4
+LIGHT_ENV = 5
 
 
 @struct.dataclass
@@ -129,9 +130,16 @@ class FlatScene:
 
     bvh: FlatBVH
 
+    #: environment light (lat-long radiance map + flat luminance-sin
+    #: CDF/PDF for importance sampling); 1x1 zeros when absent
+    env_map: jnp.ndarray  # [H, W, 3] f32
+    env_cdf: jnp.ndarray  # [H*W] f32
+    env_pdf: jnp.ndarray  # [H*W] f32
+
     num_lights: int = struct.field(pytree_node=False)
     #: static copy of light_type, usable for trace-time dispatch
     light_kinds: Tuple[int, ...] = struct.field(pytree_node=False)
+    has_env: bool = struct.field(pytree_node=False)
 
     @property
     def num_prims(self) -> int:
@@ -290,7 +298,28 @@ def flatten_scene(
             ldx.append(np.zeros(3))
             ldy.append(np.zeros(3))
             larea.append(float(light.angle))
-        # other light kinds contribute nothing to the device path (yet)
+        elif isinstance(light, st.EnvironmentLight):
+            lt.append(LIGHT_ENV)
+            lrad.append(np.ones(3))
+            lpos.append(np.zeros(3))
+            ldir.append(np.zeros(3))
+            ldx.append(np.zeros(3))
+            ldy.append(np.zeros(3))
+            larea.append(0.0)
+        # MeshLight is empty in the reference (light.cpp:107-113)
+
+    # environment map tables (host light precomputes pdf/cdf)
+    env_light = next(
+        (l for l in scene.lights if isinstance(l, st.EnvironmentLight)), None
+    )
+    if env_light is not None:
+        env_map = env_light.envmap
+        env_pdf = env_light._pdf
+        env_cdf = env_light._cdf
+    else:
+        env_map = np.zeros((1, 1, 3))
+        env_pdf = np.ones(1)
+        env_cdf = np.ones(1)
 
     num_device_lights = len(lt)
     if not lt:  # keep shapes static with one dead light
@@ -391,7 +420,11 @@ def flatten_scene(
         light_dim_y=f32(np.stack(ldy)),
         light_area=f32(larea),
         bvh=flat_bvh,
+        env_map=f32(env_map),
+        env_cdf=f32(env_cdf),
+        env_pdf=f32(env_pdf),
         num_lights=num_device_lights,
         light_kinds=tuple(int(t) for t in lt),
+        has_env=env_light is not None,
     )
     return fscene, bvh

@@ -335,9 +335,18 @@ class PathTracer:
         importance = np.ones((n, 3))
         alive = np.ones(n, bool)
         count_emission = np.ones(n, bool)
+        env = next(
+            (l for l in self.scene.lights
+             if isinstance(l, st.EnvironmentLight)), None
+        )
         for depth in range(self.max_ray_depth):
             t, p = self._closest_hit(o, d)
             hit = (p >= 0) & alive
+            if env is not None:
+                # escaped counted paths pick up the environment
+                miss = alive & (p < 0) & count_emission
+                for i in np.where(miss)[0]:
+                    light[i] += importance[i] * env.sample_dir(d[i])
             if not hit.any():
                 break
             pidx = np.where(hit, p, 0)
