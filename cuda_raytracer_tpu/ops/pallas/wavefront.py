@@ -714,12 +714,28 @@ def trace_closest_wavefront(
     d: jnp.ndarray,
     valid: jnp.ndarray,
     t_limit: jnp.ndarray = None,
-    queue_multiplier: int = 2,
+    queue_multiplier: int = 4,
 ) -> WaveTraceResult:
     """Closest-hit traversal for N rays via the segment-major Pallas
     pipeline.  Semantics match ops.traverse.trace_closest except that
     box pruning uses the static per-ray ``t_limit`` (shadow maxT)
     instead of the evolving minT — strictly conservative."""
+    # pad the ray count to a CHUNK multiple: partial final chunks at
+    # level 0 trigger a data-dependent TPU fault for some (N, coherent
+    # workload) combinations (observed at N=74892/59996 coherent;
+    # full-chunk shapes never fault).  Padding costs <0.2% at render
+    # sizes and makes every chunk DMA full.
+    N_in = o.shape[0]
+    npad = (-N_in) % CHUNK
+    if npad:
+        zero3 = jnp.zeros((npad, 3), o.dtype)
+        o = jnp.concatenate([o, zero3])
+        d = jnp.concatenate([d, zero3])
+        valid = jnp.concatenate([valid, jnp.zeros((npad,), bool)])
+        if t_limit is not None:
+            t_limit = jnp.concatenate(
+                [t_limit, jnp.zeros((npad,), t_limit.dtype)]
+            )
     bvh = scene.bvh
     N = o.shape[0]
     W = bvh.width
@@ -773,14 +789,19 @@ def trace_closest_wavefront(
     # only hits are appended (compacted); a ray hits in at most a few
     # visited leaves, so ~3N covers real scenes (overflow -> dropped)
     rescap = max((3 * N // BLOCK + 1) * BLOCK, 8 * CHUNK)
-    results = jnp.zeros((ROWS, rescap + CHUNK), jnp.float32)
+    # slack must cover the full RMW window (CHUNK + BLOCK) at cur=rescap
+    results = jnp.zeros((ROWS, rescap + CHUNK + BLOCK), jnp.float32)
     cursor = jnp.zeros((1,), jnp.int32)
 
-    for level in range(levels):
+    import os
+
+    _dbg_levels = int(os.environ.get("WF_DEBUG_LEVELS", levels))
+    _dbg_skip = os.environ.get("WF_DEBUG_SKIP", "")
+    for level in range(min(levels, _dbg_levels)):
         seg_node = jnp.asarray(seg_nodes_np[level])
 
         # --- leaf segments of this level: append (t, prim, ray) ---
-        if bvh.level_leaf[level] > 0:
+        if bvh.level_leaf[level] > 0 and "leaf" not in _dbg_skip:
             leaf_flag = jnp.asarray(
                 (np.asarray(
                     [1 if n_leaf else 0
@@ -823,9 +844,12 @@ def trace_closest_wavefront(
             [dest_all, jnp.full((1,), -1, jnp.int32)]
         )[next_idx].astype(jnp.int32)
 
-        queue = _run_pack(
-            queue, masks, seg_base, seg_count, pair_dest, W, cols
-        )
+        if "pack" not in _dbg_skip:
+            queue = _run_pack(
+                queue, masks, seg_base, seg_count, pair_dest, W, cols
+            )
+        else:
+            queue = jnp.zeros((ROWS, cols), jnp.float32)
         seg_base = base_next.astype(jnp.int32)
         seg_count = count_next.astype(jnp.int32)
         live_cols = (
@@ -849,8 +873,8 @@ def trace_closest_wavefront(
     best_prim = best_prim.at[tgt].set(p_flat.astype(jnp.int32), mode="drop")
 
     return WaveTraceResult(
-        t=jnp.where(best_prim >= 0, _bits2f(best_bits), INF),
-        prim=best_prim,
+        t=jnp.where(best_prim >= 0, _bits2f(best_bits), INF)[:N_in],
+        prim=best_prim[:N_in],
         dropped=dropped,
     )
 
