@@ -36,12 +36,10 @@ class RenderConfig:
     #: rays (reference queueSize = numRays*TREE_WIDTH*4, cudaRenderer.cu:1920;
     #: 2 is ample in practice — overflows are counted and reported).
     queue_multiplier: int = 4
-    #: traversal backend: "auto" = Pallas block-wavefront kernels on TPU,
-    #: XLA scan elsewhere; "pallas" / "xla" force one.
+    #: traversal backend: "auto" = fused Pallas wavefront kernels on
+    #: TPU, XLA scan elsewhere; "pallas" / "pallas1" (round-1 kernels,
+    #: kept for comparison benches) / "xla" force one.
     traversal: str = "auto"
-    #: ray-block size for the Pallas traversal kernels (reference
-    #: RAYS_PER_BLOCK=64; TPU VPU tiles prefer multiples of 8*128).
-    rays_per_block: int = 1024
 
     # ---- path schedule ----
     #: number of path vertices (camera hit = depth 1). The reference hard
@@ -85,6 +83,17 @@ class RenderConfig:
 
     # ---- rng ----
     seed: int = 15618  # reference cuRAND seed (src/samplers.cu_inl:8).
+
+    def __post_init__(self):
+        if self.hemisphere_sampling not in ("uniform", "cosine"):
+            raise ValueError(
+                "hemisphere_sampling must be 'uniform' or 'cosine', got "
+                f"{self.hemisphere_sampling!r}"
+            )
+        if self.traversal not in ("auto", "pallas", "pallas1", "xla"):
+            raise ValueError(f"unknown traversal {self.traversal!r}")
+        if self.shard_mode not in ("samples", "tiles"):
+            raise ValueError(f"unknown shard_mode {self.shard_mode!r}")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

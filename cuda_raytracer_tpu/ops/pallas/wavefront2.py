@@ -1,0 +1,1022 @@
+"""Fused segment-major wavefront BVH traversal (Pallas TPU kernels, v2).
+
+Second-generation realization of the reference's wavefront design
+(README.md:8-21; rayIntersectSingle, src/cudaRenderer.cu:846-1297).
+Same structural idea as v1 — per-level queues laid out as per-node
+*segments* so node/triangle data is loaded once per group — but every
+measured v1 bottleneck is redesigned out:
+
+* **Compaction**: v1 permuted survivors with 1024x1024 one-hot matmuls
+  (~10 us of MXU weight-loads per chunk-child).  v2 routes lanes
+  through a 10-stage monotone shift network built from static lane
+  rolls (the TPU analog of a shared-memory scan + scatter,
+  src/exclusiveScan.cu_inl:73-110): compaction shifts are
+  non-decreasing, so staged power-of-two left rotations route every
+  survivor collision-free.  ~0.1 us per chunk-child on the VPU.
+
+* **Queue writes**: v1 read-modify-wrote element-granular windows (9x
+  write amplification).  v2 gives every (segment, child) an exclusive
+  CHUNK-aligned output region (exact reference analog: wOffset
+  regions, src/cudaRenderer.cu:1384-1430), staged through per-child
+  VMEM tails flushed as full [8, CHUNK] blocks.  No RMW anywhere.
+
+* **Leaf intersection**: fused into the pack pass.  Leaf children are
+  intersected against the parent segment's resident chunk (triangles
+  staged [K, 128] in VMEM, prims vectorized over sublanes x rays over
+  lanes), so leaf entries never round-trip through HBM at all.
+
+* **Evolving best-t pruning** (reference minT gating,
+  src/cudaRenderer.cu:978-1003): each queue entry carries its
+  lineage's best hit so far (payload row 7).  Leaf hits tighten it in
+  deterministic child order; child boxes whose entry t exceeds it are
+  pruned.  Exactness: a pruned box satisfies tnear > t_ub >= some
+  already-logged hit t, so it cannot contain the global winner.
+  Shadow rays additionally early-terminate once any hit lands short of
+  the light (the occlusion answer is already decided).
+
+* **Hit logging**: only *improving* hits (t below the carried bound)
+  are appended — per chunk at most one per lane, pre-merged across
+  leaf children — then one deterministic scatter-min resolves rays at
+  the end (replacing kernelMergeIntersections' 16-token scan,
+  src/cudaRenderer.cu:515-540).
+
+Queue payload layout: [8, cols] float32 — rows 0-2 ray origin, 3-5 ray
+direction, 6 ray id (exact f32 integer; capacity asserted < 2^24),
+7 carried upper bound t_ub (min of shadow maxT and lineage best hit;
+-1 marks a terminated shadow entry).  Hit log: [4, cols] rows t /
+prim / ray / unused.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...render.flatscene import FlatScene
+
+INF = jnp.float32(jnp.inf)
+#: finite "no t limit" sentinel for the payload (must not be inf)
+T_NO_LIMIT = 1e30
+#: lanes processed per chunk; also the queue-region allocation granule
+CHUNK = 1024
+#: payload rows
+ROWS = 8
+#: hit-log rows (t, prim, ray, pad)
+LROWS = 4
+
+
+def _f2bits(t):
+    return jax.lax.bitcast_convert_type(t, jnp.int32)
+
+
+def _bits2f(b):
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _bucket(n: int) -> int:
+    """Next power of two >= n (kernel-shape bucketing: one Mosaic
+    compile per bucket, not per level)."""
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+# ---------------------------------------------------------------------------
+# in-kernel lane compaction (monotone shift network)
+# ---------------------------------------------------------------------------
+
+
+def _cumsum_lanes(m, width):
+    """Inclusive cumsum of [1, C] int32 along lanes via log-shift adds
+    (jnp.cumsum has no Mosaic lowering)."""
+    x = m
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < width:
+        sh = pltpu.roll(x, s, axis=1)
+        x = x + jnp.where(lane >= s, sh, 0)
+        s *= 2
+    return x
+
+
+def _compact_lanes(data, mask):
+    """Stable-compact the masked lanes of data [R, C] to the front.
+
+    Compaction shifts (lane - rank) are non-decreasing over live lanes,
+    so routing one shift bit per stage (LSB first) is collision-free.
+    Returns (routed data — lanes >= n are garbage, caller masks by n —
+    and the live count n).
+    """
+    C = data.shape[1]
+    m = mask.astype(jnp.int32)
+    rank = _cumsum_lanes(m, C) - m
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    rem = jnp.where(mask, lane - rank, C)  # C = dead marker (no bits < C)
+    s = 1
+    while s < C:
+        data_in = pltpu.roll(data, C - s, axis=1)  # left roll by s
+        rem_in = pltpu.roll(rem, C - s, axis=1)
+        take = (rem_in & s) != 0
+        keep = (rem & s) == 0
+        data = jnp.where(take, data_in, data)
+        rem = jnp.where(take, rem_in - s, jnp.where(keep, rem, C))
+        s *= 2
+    return data, jnp.sum(m)
+
+
+def _append_tail(tail_ref, data, mask, tcnt):
+    """Compact the masked lanes of data [R, C] and append them to the
+    VMEM tail [R, 2C] at element offset tcnt; zeroes everything beyond.
+    Returns the survivor count."""
+    C = data.shape[1]
+    comp, n = _compact_lanes(data, mask)
+    padded = jnp.concatenate([comp, jnp.zeros_like(comp)], axis=1)
+    rolled = pltpu.roll(padded, tcnt, axis=1)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * C), 1)
+    sel = (lane2 >= tcnt) & (lane2 < tcnt + n)
+    tail_ref[...] = jnp.where(
+        sel, rolled, jnp.where(lane2 < tcnt, tail_ref[...], 0.0)
+    )
+    return n
+
+
+# ---------------------------------------------------------------------------
+# shared box-test (identical code in count and pack => identical masks)
+# ---------------------------------------------------------------------------
+
+
+def _box_terms(box, o_x, o_y, o_z, inv_x, inv_y, inv_z):
+    """Slab test terms for one child box against a chunk of rays.
+    Semantics of intersectBBox (src/cudaRenderer.cu:154-207): entry t
+    gated later by the carried bound; origin-inside always enters."""
+    mnx, mny, mnz, mxx, mxy, mxz = box
+    t0x = (mnx - o_x) * inv_x
+    t1x = (mxx - o_x) * inv_x
+    t0y = (mny - o_y) * inv_y
+    t1y = (mxy - o_y) * inv_y
+    t0z = (mnz - o_z) * inv_z
+    t1z = (mxz - o_z) * inv_z
+    tnear = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.minimum(t0z, t1z),
+    )
+    tfar = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z),
+    )
+    inside = (
+        (o_x >= mnx)
+        & (o_x <= mxx)
+        & (o_y >= mny)
+        & (o_y <= mxy)
+        & (o_z >= mnz)
+        & (o_z <= mxz)
+    )
+    slab_ok = (tnear <= tfar) & (tfar >= 0.0)
+    return slab_ok, tnear, inside
+
+
+# ---------------------------------------------------------------------------
+# kernel 1: count — per-(segment, inner-child) survivor counts
+# ---------------------------------------------------------------------------
+
+
+def _count_kernel(
+    # scalar prefetch
+    seg_node,
+    seg_base,  # [Sp] CHUNK units
+    seg_count,
+    cmask,  # [Sp*W] 1 = count this child (valid inner)
+    nsegs,  # [1]
+    # inputs
+    queue,
+    node_packed,
+    # output
+    counts_ref,  # [Sp, 128] f32 VMEM
+    # scratch
+    ebuf,
+    nrow,
+    sem,
+    *,
+    width: int,
+):
+    C = CHUNK
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    counts_ref[...] = jnp.zeros_like(counts_ref)
+
+    def seg_body(s, carry):
+        cnt = seg_count[s]
+
+        @pl.when(cnt > 0)
+        def _():
+            node = seg_node[s]
+            base_col = seg_base[s] * C
+            nchunks = (cnt + C - 1) // C
+            ndma = pltpu.make_async_copy(
+                node_packed.at[pl.ds(node, 1), :], nrow, sem.at[2]
+            )
+            ndma.start()
+
+            def start_chunk(c, slot):
+                pltpu.make_async_copy(
+                    queue.at[:, pl.ds(base_col + c * C, C)],
+                    ebuf.at[slot],
+                    sem.at[slot],
+                ).start()
+
+            start_chunk(0, 0)
+            ndma.wait()
+            boxes = []
+            for w in range(width):
+                boxes.append((
+                    nrow[0, 3 * w + 0], nrow[0, 3 * w + 1],
+                    nrow[0, 3 * w + 2],
+                    nrow[0, 3 * width + 3 * w + 0],
+                    nrow[0, 3 * width + 3 * w + 1],
+                    nrow[0, 3 * width + 3 * w + 2],
+                ))
+            outlets = [nrow[0, 6 * width + w] for w in range(width)]
+
+            def chunk_body(c, accs):
+                slot = jax.lax.rem(c, 2)
+
+                @pl.when(c + 1 < nchunks)
+                def _():
+                    start_chunk(c + 1, jax.lax.rem(c + 1, 2))
+
+                pltpu.make_async_copy(
+                    queue.at[:, pl.ds(base_col + c * C, C)],
+                    ebuf.at[slot],
+                    sem.at[slot],
+                ).wait()
+                e = ebuf.at[slot]
+                o_x, o_y, o_z = e[0:1, :], e[1:2, :], e[2:3, :]
+                d_x, d_y, d_z = e[3:4, :], e[4:5, :], e[5:6, :]
+                tub = e[7:8, :]
+                validl = (lane + c * C) < cnt
+                inv_x, inv_y, inv_z = 1.0 / d_x, 1.0 / d_y, 1.0 / d_z
+                new_accs = []
+                for w in range(width):
+                    slab_ok, tnear, inside = _box_terms(
+                        boxes[w], o_x, o_y, o_z, inv_x, inv_y, inv_z
+                    )
+                    m = (
+                        ((slab_ok & (tnear <= tub)) | inside)
+                        & (tub >= 0.0)
+                        & validl
+                        & (outlets[w] >= 0.0)
+                    )
+                    counted = cmask[s * width + w] > 0
+                    new_accs.append(
+                        accs[w]
+                        + jnp.where(counted, jnp.sum(m.astype(jnp.float32)),
+                                    0.0)
+                    )
+                return tuple(new_accs)
+
+            accs = jax.lax.fori_loop(
+                0, nchunks, chunk_body,
+                tuple(jnp.float32(0.0) for _ in range(width)),
+            )
+            row = jnp.zeros((1, 128), jnp.float32)
+            for w in range(width):
+                row = jnp.where(lane128 == w, accs[w], row)
+            counts_ref[pl.ds(s, 1), :] = row
+
+        return carry
+
+    jax.lax.fori_loop(0, nsegs[0], seg_body, 0, unroll=False)
+
+
+# ---------------------------------------------------------------------------
+# kernel 2: pack — leaf intersection + survivor routing, fused
+# ---------------------------------------------------------------------------
+
+
+def _pack_kernel(
+    # scalar prefetch
+    seg_node,
+    seg_base,
+    seg_count,
+    cdest,  # [Sp*W] CHUNK-unit region base in queue_out, -1 = skip
+    ckind,  # [Sp*W] 0 none / 1 inner / 2 leaf
+    clstart,
+    clcnt,
+    cforce,
+    cursor_in,  # [1] element cursor into the hit log
+    nsegs,
+    # inputs
+    queue_in,
+    node_packed,
+    prim_packed,
+    log_in,  # aliased to log_out
+    # outputs
+    queue_out,
+    log_out,
+    cur_out,  # [1, 2] i32 SMEM: cursor, dropped
+    # scratch
+    ebuf,
+    nrow,
+    pbuf,  # [W, K8, 128]
+    tails,  # [W, 8, 2C]
+    ltail,  # [4, 2C]
+    fbuf,  # [W, 8, C]
+    lfbuf,  # [4, C]
+    tubbuf,  # [1, C]
+    prunbuf,  # [1, C]
+    qsem,
+    nsem,
+    psem,
+    fsem,
+    lfsem,
+    lpsem,
+    *,
+    width: int,
+    k8: int,
+    do_kill: bool,
+    kill_eps: float,
+    logcap: int,
+):
+    C = CHUNK
+    W = width
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    krow = jax.lax.broadcasted_iota(jnp.int32, (k8, 1), 0)
+
+    # -- log tail resume: preload the partial chunk at the cursor --
+    # All queue/log offsets are carried in CHUNK units and multiplied by
+    # C at the use site so Mosaic can prove lane-tile divisibility of
+    # every dynamic HBM slice.
+    cur0 = cursor_in[0]
+    log_chunk0 = cur0 // C
+    ltcnt0 = cur0 - log_chunk0 * C
+    lp = pltpu.make_async_copy(
+        log_in.at[:, pl.ds(log_chunk0 * C, C)], ltail.at[:, 0:C], lpsem
+    )
+    lp.start()
+    lp.wait()
+
+    def seg_body(s, carry):
+        (ltcnt, log_chunk, ldrop, lfchunk) = carry[0:4]
+        fchunks = carry[4:4 + W]
+        cnt = seg_count[s]
+
+        def process(carry):
+            (ltcnt, log_chunk, ldrop, lfchunk) = carry[0:4]
+            fchunks = list(carry[4:4 + W])
+            node = seg_node[s]
+            base_col = seg_base[s] * C
+            nchunks = (cnt + C - 1) // C
+            ndma = pltpu.make_async_copy(
+                node_packed.at[pl.ds(node, 1), :], nrow, nsem
+            )
+            ndma.start()
+
+            def start_chunk(c, slot):
+                pltpu.make_async_copy(
+                    queue_in.at[:, pl.ds(base_col + c * C, C)],
+                    ebuf.at[slot],
+                    qsem.at[slot],
+                ).start()
+
+            start_chunk(0, 0)
+            # stage leaf-child primitive rows (overlaps the chunk loop)
+            for w in range(W):
+                @pl.when(ckind[s * W + w] == 2)
+                def _(w=w):
+                    pltpu.make_async_copy(
+                        prim_packed.at[pl.ds(clstart[s * W + w], k8), :],
+                        pbuf.at[w],
+                        psem.at[w],
+                    ).start()
+            ndma.wait()
+            boxes = []
+            for w in range(W):
+                boxes.append((
+                    nrow[0, 3 * w + 0], nrow[0, 3 * w + 1],
+                    nrow[0, 3 * w + 2],
+                    nrow[0, 3 * W + 3 * w + 0],
+                    nrow[0, 3 * W + 3 * w + 1],
+                    nrow[0, 3 * W + 3 * w + 2],
+                ))
+            outlets = [nrow[0, 6 * W + w] for w in range(W)]
+
+            def chunk_body(c, ch):
+                (ltcnt, log_chunk, ldrop, lfchunk) = ch[0:4]
+                fchunks = list(ch[4:4 + W])
+                tcs = list(ch[4 + W:4 + 2 * W])
+                fls = list(ch[4 + 2 * W:4 + 3 * W])
+                slot = jax.lax.rem(c, 2)
+
+                @pl.when(c + 1 < nchunks)
+                def _():
+                    start_chunk(c + 1, jax.lax.rem(c + 1, 2))
+
+                pltpu.make_async_copy(
+                    queue_in.at[:, pl.ds(base_col + c * C, C)],
+                    ebuf.at[slot],
+                    qsem.at[slot],
+                ).wait()
+                e = ebuf.at[slot]
+                o_x, o_y, o_z = e[0:1, :], e[1:2, :], e[2:3, :]
+                d_x, d_y, d_z = e[3:4, :], e[4:5, :], e[5:6, :]
+                rayid = e[6:7, :]
+                tub0 = e[7:8, :]
+                validl = (lane + c * C) < cnt
+                inv_x, inv_y, inv_z = 1.0 / d_x, 1.0 / d_y, 1.0 / d_z
+
+                tubbuf[...] = tub0
+                prunbuf[...] = jnp.full((1, C), -1.0, jnp.float32)
+
+                # ---- leaf children first: tighten the carried bound in
+                # deterministic child order ----
+                cache = []
+                for w in range(W):
+                    slab_ok, tnear, inside = _box_terms(
+                        boxes[w], o_x, o_y, o_z, inv_x, inv_y, inv_z
+                    )
+                    cache.append((slab_ok, tnear, inside))
+                    kind_w = ckind[s * W + w]
+
+                    @pl.when(kind_w == 2)
+                    def _(w=w, slab_ok=slab_ok, tnear=tnear, inside=inside):
+                        @pl.when(c == 0)
+                        def _():
+                            pltpu.make_async_copy(
+                                prim_packed.at[
+                                    pl.ds(clstart[s * W + w], k8), :
+                                ],
+                                pbuf.at[w],
+                                psem.at[w],
+                            ).wait()
+
+                        tub_cur = tubbuf[0:1, :]
+                        forced = cforce[s * W + w] > 0
+                        m = (
+                            (
+                                ((slab_ok & (tnear <= tub_cur))
+                                 | inside)
+                                & (outlets[w] >= 0.0)
+                            )
+                            | forced
+                        ) & (tub_cur >= 0.0) & validl
+
+                        @pl.when(jnp.sum(m.astype(jnp.int32)) > 0)
+                        def _():
+                            pb = pbuf.at[w]
+                            v0x, v0y, v0z = (pb[:, 0:1], pb[:, 1:2],
+                                             pb[:, 2:3])
+                            v1x, v1y, v1z = (pb[:, 3:4], pb[:, 4:5],
+                                             pb[:, 5:6])
+                            v2x, v2y, v2z = (pb[:, 6:7], pb[:, 7:8],
+                                             pb[:, 8:9])
+                            ptype = pb[:, 9:10]
+                            # triangle plane + half-plane tests
+                            # (intersectRayTriangle, cu:217-270)
+                            e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+                            e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+                            nx = e1y * e2z - e1z * e2y
+                            ny = e1z * e2x - e1x * e2z
+                            nz = e1x * e2y - e1y * e2x
+                            denom = nx * d_x + ny * d_y + nz * d_z
+                            parallel = jnp.abs(denom) < 1e-6
+                            dplane = nx * v0x + ny * v0y + nz * v0z
+                            t_tri = (
+                                dplane - (nx * o_x + ny * o_y + nz * o_z)
+                            ) / jnp.where(parallel, 1.0, denom)
+                            px = o_x + t_tri * d_x
+                            py = o_y + t_tri * d_y
+                            pz = o_z + t_tri * d_z
+
+                            def edge_ok(ax, ay, az, bx, by, bz):
+                                ex, ey, ez = bx - ax, by - ay, bz - az
+                                wx, wy, wz = px - ax, py - ay, pz - az
+                                cx = ey * wz - ez * wy
+                                cy = ez * wx - ex * wz
+                                cz = ex * wy - ey * wx
+                                return nx * cx + ny * cy + nz * cz >= 0.0
+
+                            inside_tri = (
+                                edge_ok(v0x, v0y, v0z, v1x, v1y, v1z)
+                                & edge_ok(v1x, v1y, v1z, v2x, v2y, v2z)
+                                & edge_ok(v2x, v2y, v2z, v0x, v0y, v0z)
+                            )
+                            ok_tri = (
+                                (~parallel) & inside_tri & (t_tri >= 0.0)
+                            )
+                            # sphere (center v0, radius col 3)
+                            radius = v1x
+                            ocx, ocy, ocz = o_x - v0x, o_y - v0y, o_z - v0z
+                            a_q = d_x * d_x + d_y * d_y + d_z * d_z
+                            b_q = 2.0 * (
+                                ocx * d_x + ocy * d_y + ocz * d_z
+                            )
+                            c_q = (
+                                ocx * ocx + ocy * ocy + ocz * ocz
+                                - radius * radius
+                            )
+                            disc = b_q * b_q - 4.0 * a_q * c_q
+                            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                            ts1 = (-b_q - sq) / (2.0 * a_q)
+                            ts2 = (-b_q + sq) / (2.0 * a_q)
+                            t_sph = jnp.where(ts1 > 0, ts1, ts2)
+                            ok_sph = (disc >= 0) & (t_sph > 0)
+
+                            is_sph = ptype > 0.5
+                            t_k = jnp.where(is_sph, t_sph, t_tri)
+                            okm = (
+                                ((is_sph & ok_sph) | ((~is_sph) & ok_tri))
+                                & (krow < clcnt[s * W + w])
+                                & m
+                            )
+                            t_mat = jnp.where(okm, t_k, jnp.float32(jnp.inf))
+                            tbest = jnp.min(t_mat, axis=0, keepdims=True)
+                            kmin = jnp.argmin(
+                                t_mat, axis=0, keepdims=True
+                            ).astype(jnp.float32)
+                            prim = (
+                                jnp.float32(clstart[s * W + w]) + kmin
+                            )
+                            better = tbest < tubbuf[0:1, :]
+                            prunbuf[...] = jnp.where(
+                                better, prim, prunbuf[...]
+                            )
+                            tubbuf[...] = jnp.where(
+                                better, tbest, tubbuf[...]
+                            )
+
+                # ---- hit-log append (improving hits only) ----
+                p_run = prunbuf[0:1, :]
+                t_run = tubbuf[0:1, :]
+                logm = (p_run >= 0.0) & validl
+                nlog = jnp.sum(logm.astype(jnp.int32))
+                can_log = (log_chunk * C + ltcnt + nlog) <= logcap
+                ldrop = ldrop + jnp.where(can_log, 0, nlog)
+
+                @pl.when((nlog > 0) & can_log)
+                def _():
+                    data4 = jnp.concatenate(
+                        [t_run, p_run, rayid,
+                         jnp.zeros((1, C), jnp.float32)],
+                        axis=0,
+                    )
+                    _append_tail(ltail, data4, logm, ltcnt)
+
+                ltcnt = jnp.where(can_log, ltcnt + nlog, ltcnt)
+                flush_log = ltcnt >= C
+
+                @pl.when(flush_log)
+                def _():
+                    @pl.when(lfchunk >= 0)
+                    def _():
+                        pltpu.make_async_copy(
+                            lfbuf, log_out.at[:, pl.ds(lfchunk * C, C)],
+                            lfsem,
+                        ).wait()
+
+                    lfbuf[...] = ltail[:, 0:C]
+                    pltpu.make_async_copy(
+                        lfbuf, log_out.at[:, pl.ds(log_chunk * C, C)], lfsem
+                    ).start()
+                    ltail[...] = pltpu.roll(ltail[...], C, axis=1)
+
+                lfchunk = jnp.where(flush_log, log_chunk, lfchunk)
+                log_chunk = log_chunk + jnp.where(flush_log, 1, 0)
+                ltcnt = ltcnt - jnp.where(flush_log, C, 0)
+
+                # shadow early-termination: the occlusion answer is
+                # decided once a hit lands clearly short of the light
+                if do_kill:
+                    killed = (p_run >= 0.0) & (
+                        t_run < tub0 - jnp.float32(kill_eps)
+                    )
+                    tub_out = jnp.where(killed, -1.0, t_run)
+                else:
+                    tub_out = t_run
+
+                # ---- inner children: compact + route ----
+                for w in range(W):
+                    slab_ok, tnear, inside = cache[w]
+                    kind_w = ckind[s * W + w]
+                    dest_w = cdest[s * W + w]
+                    m_in = (
+                        ((slab_ok & (tnear <= tub0)) | inside)
+                        & (tub0 >= 0.0)
+                        & validl
+                        & (outlets[w] >= 0.0)
+                        & (kind_w == 1)
+                    )
+                    n_w = jnp.sum(m_in.astype(jnp.int32))
+                    active = (dest_w >= 0) & (n_w > 0)
+
+                    @pl.when(active)
+                    def _(w=w, m_in=m_in, tub_out=tub_out):
+                        rowid = jax.lax.broadcasted_iota(
+                            jnp.int32, (ROWS, 1), 0
+                        )
+                        payload = jnp.where(
+                            rowid == 7,
+                            jnp.broadcast_to(tub_out, (ROWS, C)),
+                            e[0:ROWS, :],
+                        )
+                        _append_tail(tails.at[w], payload, m_in, tcs[w])
+
+                    tc = jnp.where(dest_w >= 0, tcs[w] + n_w, tcs[w])
+                    flush_w = tc >= C
+
+                    @pl.when(flush_w)
+                    def _(w=w, dest_w=dest_w):
+                        @pl.when(fchunks[w] >= 0)
+                        def _():
+                            pltpu.make_async_copy(
+                                fbuf.at[w],
+                                queue_out.at[:, pl.ds(fchunks[w] * C, C)],
+                                fsem.at[w],
+                            ).wait()
+
+                        fbuf[w, ...] = tails[w, :, 0:C]
+                        pltpu.make_async_copy(
+                            fbuf.at[w],
+                            queue_out.at[:, pl.ds((dest_w + fls[w]) * C, C)],
+                            fsem.at[w],
+                        ).start()
+                        tails[w, ...] = pltpu.roll(
+                            tails[w, ...], C, axis=1
+                        )
+
+                    fchunks[w] = jnp.where(
+                        flush_w, dest_w + fls[w], fchunks[w]
+                    )
+                    fls[w] = fls[w] + jnp.where(flush_w, 1, 0)
+                    tcs[w] = tc - jnp.where(flush_w, C, 0)
+
+                return (ltcnt, log_chunk, ldrop, lfchunk, *fchunks, *tcs,
+                        *fls)
+
+            ch0 = (
+                ltcnt, log_chunk, ldrop, lfchunk, *fchunks,
+                *([jnp.int32(0)] * W),  # tail counts
+                *([jnp.int32(0)] * W),  # flushed chunks
+            )
+            ch = jax.lax.fori_loop(0, nchunks, chunk_body, ch0)
+            (ltcnt, log_chunk, ldrop, lfchunk) = ch[0:4]
+            fchunks = list(ch[4:4 + W])
+            tcs = list(ch[4 + W:4 + 2 * W])
+            fls = list(ch[4 + 2 * W:4 + 3 * W])
+
+            # final partial flush per child (full-CHUNK write; regions
+            # are CHUNK-granular so this never crosses into a neighbor)
+            for w in range(W):
+                dest_w = cdest[s * W + w]
+                final_w = tcs[w] > 0
+
+                @pl.when(final_w)
+                def _(w=w, dest_w=dest_w):
+                    @pl.when(fchunks[w] >= 0)
+                    def _():
+                        pltpu.make_async_copy(
+                            fbuf.at[w],
+                            queue_out.at[:, pl.ds(fchunks[w] * C, C)],
+                            fsem.at[w],
+                        ).wait()
+
+                    fbuf[w, ...] = tails[w, :, 0:C]
+                    pltpu.make_async_copy(
+                        fbuf.at[w],
+                        queue_out.at[:, pl.ds((dest_w + fls[w]) * C, C)],
+                        fsem.at[w],
+                    ).start()
+
+                fchunks[w] = jnp.where(
+                    final_w, dest_w + fls[w], fchunks[w]
+                )
+
+            return (ltcnt, log_chunk, ldrop, lfchunk, *fchunks)
+
+        return jax.lax.cond(cnt > 0, process, lambda c: c, carry)
+
+    carry0 = (
+        ltcnt0, log_chunk0, jnp.int32(0), jnp.int32(-1),
+        *([jnp.int32(-1)] * W),
+    )
+    carry = jax.lax.fori_loop(0, nsegs[0], seg_body, carry0, unroll=False)
+    (ltcnt, log_chunk, ldrop, lfchunk) = carry[0:4]
+    fchunks = carry[4:4 + W]
+
+    # flush the log remainder and drain every outstanding DMA
+    @pl.when(ltcnt > 0)
+    def _():
+        @pl.when(lfchunk >= 0)
+        def _():
+            pltpu.make_async_copy(
+                lfbuf, log_out.at[:, pl.ds(lfchunk * C, C)], lfsem
+            ).wait()
+
+        lfbuf[...] = ltail[:, 0:C]
+        pltpu.make_async_copy(
+            lfbuf, log_out.at[:, pl.ds(log_chunk * C, C)], lfsem
+        ).start()
+        pltpu.make_async_copy(
+            lfbuf, log_out.at[:, pl.ds(log_chunk * C, C)], lfsem
+        ).wait()
+
+    @pl.when((ltcnt == 0) & (lfchunk >= 0))
+    def _():
+        pltpu.make_async_copy(
+            lfbuf, log_out.at[:, pl.ds(lfchunk * C, C)], lfsem
+        ).wait()
+
+    for w in range(W):
+        @pl.when(fchunks[w] >= 0)
+        def _(w=w):
+            pltpu.make_async_copy(
+                fbuf.at[w],
+                queue_out.at[:, pl.ds(fchunks[w] * C, C)],
+                fsem.at[w],
+            ).wait()
+
+    cur_out[0, 0] = log_chunk * C + ltcnt
+    cur_out[0, 1] = ldrop
+
+
+# ---------------------------------------------------------------------------
+# kernel runners
+# ---------------------------------------------------------------------------
+
+_HBM = functools.partial(pl.BlockSpec, memory_space=pltpu.MemorySpace.HBM)
+_ANY = functools.partial(pl.BlockSpec, memory_space=pltpu.ANY)
+_VMEM = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+_SMEM = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+
+_INTERPRET = False  # flipped by tests for CPU runs
+
+
+def _run_count(queue, node_packed, seg_node, seg_base, seg_count, cmask,
+               nsegs, width: int):
+    Sp = seg_node.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(1,),
+        in_specs=[_HBM(), _ANY()],
+        out_specs=_VMEM(),
+        scratch_shapes=[
+            pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_count_kernel, width=width),
+        out_shape=jax.ShapeDtypeStruct((Sp, 128), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_INTERPRET,
+    )(seg_node, seg_base, seg_count, cmask, nsegs, queue, node_packed)
+
+
+def _run_pack(queue_in, node_packed, prim_packed, log_in,
+              seg_node, seg_base, seg_count, cdest, ckind, clstart, clcnt,
+              cforce, cursor, nsegs,
+              width: int, k8: int, cols_out: int, do_kill: bool,
+              kill_eps: float, logcap: int):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=10,
+        grid=(1,),
+        in_specs=[_HBM(), _ANY(), _ANY(), _HBM()],
+        out_specs=(_HBM(), _HBM(), _SMEM()),
+        scratch_shapes=[
+            pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((width, k8, 128), jnp.float32),
+            pltpu.VMEM((width, ROWS, 2 * CHUNK), jnp.float32),
+            pltpu.VMEM((LROWS, 2 * CHUNK), jnp.float32),
+            pltpu.VMEM((width, ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((LROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((1, CHUNK), jnp.float32),
+            pltpu.VMEM((1, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((width,)),
+            pltpu.SemaphoreType.DMA((width,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _pack_kernel, width=width, k8=k8, do_kill=do_kill,
+            kill_eps=kill_eps, logcap=logcap,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ROWS, cols_out), jnp.float32),
+            jax.ShapeDtypeStruct(log_in.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+        # operand 13 = log_in (10 scalars + queue, node, prim), aliased
+        # to output 1 so the hit log accumulates across levels
+        input_output_aliases={13: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_INTERPRET,
+    )(seg_node, seg_base, seg_count, cdest, ckind, clstart, clcnt, cforce,
+      cursor, nsegs, queue_in, node_packed, prim_packed, log_in)
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+
+class WaveTraceResult(NamedTuple):
+    t: jnp.ndarray
+    prim: jnp.ndarray
+    dropped: jnp.ndarray
+
+
+def trace_closest_wavefront(
+    scene: FlatScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    valid: jnp.ndarray,
+    t_limit: jnp.ndarray = None,
+    queue_multiplier: int = 2,
+    kill_eps: float = 1e-3,
+    debug_levels: int = 0,
+    debug_no_leaf: bool = False,
+) -> WaveTraceResult:
+    """Closest-hit traversal for N rays via the fused segment-major
+    Pallas pipeline.  Exact-match semantics vs ops.traverse.trace_closest
+    for closest-hit passes; shadow passes (t_limit given) additionally
+    early-terminate entries once any hit lands more than kill_eps short
+    of the light — the reported t then still decides the reference pass
+    condition ``t > maxT - eps`` (src/cudaRenderer.cu:1279) identically.
+    """
+    bvh = scene.bvh
+    sched = bvh.wf_sched
+    assert sched, "scene was flattened without a wavefront schedule"
+    W = bvh.width
+    k8 = max(_cdiv(bvh.max_leaf, 8) * 8, 8)
+    C = CHUNK
+
+    N_in = o.shape[0]
+    npad = (-N_in) % C
+    N = N_in + npad
+    assert N < (1 << 24), (
+        f"{N} rays exceed the exact-f32 index range (2^24)"
+    )
+
+    vmask = valid[:, None]
+    o_sane = jnp.where(vmask, o.astype(jnp.float32), 2e30)
+    d_sane = jnp.where(vmask, d.astype(jnp.float32), 0.0)
+    ray_f = jnp.arange(N_in, dtype=jnp.int32).astype(jnp.float32)
+    if t_limit is None:
+        tub = jnp.full((N_in,), T_NO_LIMIT, jnp.float32)
+        do_kill = False
+    else:
+        tub = jnp.minimum(t_limit.astype(jnp.float32), T_NO_LIMIT)
+        do_kill = True
+    tub = jnp.where(valid, tub, -1.0)
+    payload = jnp.concatenate(
+        [o_sane.T, d_sane.T, ray_f[None, :], tub[None, :]], axis=0
+    )
+    if npad:
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((ROWS, npad), jnp.float32)
+             .at[7, :].set(-1.0)],
+            axis=1,
+        )
+
+    # static capacities
+    n_chunks0 = N // C
+    max_next_segs = max(
+        (len(lv[0]) for lv in sched[1:]), default=1
+    )
+    cap_chunks = _cdiv(queue_multiplier * N, C) + max_next_segs + 2
+    cols = cap_chunks * C
+    logcap = 2 * N
+    logcols = logcap + C
+
+    queue = payload  # level-0 queue: exactly the ray chunks
+    log = jnp.zeros((LROWS, logcols), jnp.float32)
+    cursor = jnp.zeros((1,), jnp.int32)
+    dropped = jnp.int32(0)
+
+    seg_base = jnp.zeros((1,), jnp.int32)
+    seg_count = jnp.full((1,), N, jnp.int32)
+
+    for lvl, (seg_nodes, kind, pair, lstart, lcnt, forced) in enumerate(
+        sched
+    ):
+        if debug_levels and lvl >= debug_levels:
+            break
+        if debug_no_leaf:  # timing diagnostics only: drop leaf children
+            kind = tuple(0 if k == 2 else k for k in kind)
+        S = len(seg_nodes)
+        Sp = _bucket(S)
+        SWp = Sp * W
+
+        def pad_i32(vals, fill, size):
+            a = np.full((size,), fill, np.int32)
+            a[: len(vals)] = vals
+            return jnp.asarray(a)
+
+        seg_node_a = pad_i32(seg_nodes, 0, Sp)
+        ckind_a = pad_i32(kind, 0, SWp)
+        clstart_a = pad_i32(lstart, 0, SWp)
+        clcnt_a = pad_i32(lcnt, 0, SWp)
+        cforce_a = pad_i32(forced, 0, SWp)
+        nsegs_a = jnp.asarray([S], jnp.int32)
+        seg_base_p = jnp.zeros((Sp,), jnp.int32).at[:S].set(seg_base)
+        seg_count_p = jnp.zeros((Sp,), jnp.int32).at[:S].set(seg_count)
+
+        has_inner = any(k == 1 for k in kind)
+        if has_inner:
+            cmask_a = pad_i32(
+                [1 if k == 1 else 0 for k in kind], 0, SWp
+            )
+            counts = _run_count(
+                queue, bvh.node_packed, seg_node_a, seg_base_p,
+                seg_count_p, cmask_a, nsegs_a, W,
+            )
+            counts_flat = counts[:S, :W].reshape(-1).astype(jnp.int32)
+            pair_np = np.asarray(pair, np.int32)
+            S_next = len(sched[lvl + 1][0])
+            next_idx = jnp.asarray(
+                np.where(pair_np >= 0, pair_np, S_next).astype(np.int32)
+            )
+            count_next = (
+                jnp.zeros((S_next + 1,), jnp.int32)
+                .at[next_idx]
+                .set(counts_flat)[:S_next]
+            )
+            chunks_next = (count_next + C - 1) // C
+            cum = jnp.cumsum(chunks_next)
+            base_next = cum - chunks_next
+            fits = cum <= cap_chunks
+            dropped = dropped + jnp.sum(jnp.where(fits, 0, count_next))
+            count_next = jnp.where(fits, count_next, 0)
+            dest_units = jnp.where(fits & (count_next > 0), base_next, -1)
+            cdest_a = jnp.concatenate(
+                [dest_units, jnp.full((1,), -1, jnp.int32)]
+            )[next_idx]
+            cdest_a = (
+                jnp.full((SWp,), -1, jnp.int32).at[: S * W].set(cdest_a)
+            )
+            cols_out = cols
+        else:
+            cdest_a = jnp.full((SWp,), -1, jnp.int32)
+            cols_out = C
+
+        queue_new, log, currow = _run_pack(
+            queue, bvh.node_packed, scene.prim_packed, log,
+            seg_node_a, seg_base_p, seg_count_p, cdest_a, ckind_a,
+            clstart_a, clcnt_a, cforce_a, cursor, nsegs_a,
+            W, k8, cols_out, do_kill, kill_eps, logcap,
+        )
+        cursor = currow[0, 0].reshape(1)
+        dropped = dropped + currow[0, 1]
+
+        if not has_inner:
+            break
+        queue = queue_new
+        seg_base = base_next.astype(jnp.int32)
+        seg_count = count_next.astype(jnp.int32)
+
+    # ---- deterministic merge of the hit log ----
+    used = jnp.minimum(cursor[0], logcap)
+    colid = jnp.arange(logcols, dtype=jnp.int32)
+    live = colid < used
+    t_flat = log[0]
+    p_flat = log[1]
+    r_flat = log[2]
+    ray_i = jnp.where(live, r_flat, 0.0).astype(jnp.int32)
+    ray_i = jnp.where(live, ray_i, N_in)
+    bits = _f2bits(jnp.where(live, t_flat, INF))
+    best_bits = jnp.full((N_in + 1,), _f2bits(INF), jnp.int32)
+    best_bits = best_bits.at[ray_i].min(bits, mode="drop")
+    win = live & (bits == best_bits[jnp.clip(ray_i, 0, N_in)])
+    tgt = jnp.where(win, ray_i, N_in)
+    best_prim = jnp.full((N_in + 1,), -1, jnp.int32)
+    best_prim = best_prim.at[tgt].set(
+        p_flat.astype(jnp.int32), mode="drop"
+    )
+    best_bits = best_bits[:N_in]
+    best_prim = best_prim[:N_in]
+
+    return WaveTraceResult(
+        t=jnp.where(best_prim >= 0, _bits2f(best_bits), INF),
+        prim=best_prim,
+        dropped=dropped,
+    )

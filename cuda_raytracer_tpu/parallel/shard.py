@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import RenderConfig
 from ..ops import filters as F
 from ..ops import shade as S
-from ..ops.traverse import trace_closest
+from ..render.bounce import make_stage_fns, run_bounce_loop
 from ..render.flatscene import FlatScene
 
 
@@ -43,39 +43,14 @@ def make_render_mesh(devices=None, axis: str = "rays") -> Mesh:
 
 def _render_chunk(scene: FlatScene, cfg: RenderConfig, cam_arrays, key,
                   hfov_t, vfov_t, spp: int):
-    """Trace spp samples/pixel of the full image; returns [H, W, 3]."""
+    """Trace spp samples/pixel of the full image; returns [H, W, 3].
+    The schedule is the shared bounce loop (render/bounce.py)."""
     pos, c2w = cam_arrays
     o, d = S.generate_camera_rays(
         jax.random.fold_in(key, 0), cfg.width, cfg.height, spp,
         pos, c2w, hfov_t, vfov_t,
     )
-    n = o.shape[0]
-    valid = jnp.ones((n,), dtype=bool)
-    importance = jnp.ones((n, 3), dtype=jnp.float32)
-    light = jnp.zeros((n, 3), dtype=jnp.float32)
-    count_emission = jnp.ones((n,), dtype=bool)
-    schedule = list(cfg.nee_schedule)
-    for depth in range(cfg.max_depth):
-        res = trace_closest(scene, o, d, valid, cfg.queue_multiplier)
-        hit = S.compute_hits(scene, o, d, res.t, res.prim, cfg.origin_eps)
-        light = light + S.emission_at_hits(scene, hit, importance, count_emission)
-        num_nee, weight = schedule[depth] if depth < len(schedule) else (0, 0.0)
-        for s in range(num_nee):
-            for li in range(scene.num_lights):
-                k_u = jax.random.fold_in(key, 1000 + depth * 64 + s * 8 + li)
-                u = jax.random.uniform(k_u, (n, 2), dtype=jnp.float32)
-                o_s, d_s, max_t, li_imp, ok = S.nee_shadow_rays(
-                    scene, hit, importance, li, u, weight
-                )
-                res_s = trace_closest(scene, o_s, d_s, ok, cfg.queue_multiplier)
-                passes = res_s.t > max_t - cfg.shadow_eps
-                light = light + jnp.where((ok & passes)[:, None], li_imp, 0.0)
-        if depth + 1 < cfg.max_depth:
-            k_s = jax.random.fold_in(key, 2000 + depth)
-            o, d, importance, valid, count_emission = S.scatter(
-                scene, hit, importance, k_s, cfg.origin_eps,
-                cfg.hemisphere_sampling,
-            )
+    light, _ = run_bounce_loop(make_stage_fns(cfg), cfg, scene, o, d, key)
     return F.reconstruct(light, cfg.width, cfg.height, spp)
 
 
@@ -134,8 +109,9 @@ def render_frame_sharded(
             chip_key, cfg.width, cfg.height, rows, idx, cfg.samples_per_frame,
             pos, c2w, hfov_t, vfov_t,
         )
-        n = o.shape[0]
-        light = _shade_loop(scene, tile_cfg, o, d, chip_key)
+        light, _ = run_bounce_loop(
+            make_stage_fns(tile_cfg), tile_cfg, scene, o, d, chip_key
+        )
         img = F.reconstruct(light, cfg.width, rows, cfg.samples_per_frame)
         return img
 
@@ -166,38 +142,6 @@ def _tile_rays(key, width, full_height, rows, tile_idx, spp, pos, c2w,
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     o = jnp.broadcast_to(jnp.asarray(pos, jnp.float32), d.shape)
     return o, d
-
-
-def _shade_loop(scene, cfg, o, d, key):
-    """Shared bounce loop for tile mode."""
-    n = o.shape[0]
-    valid = jnp.ones((n,), dtype=bool)
-    importance = jnp.ones((n, 3), dtype=jnp.float32)
-    light = jnp.zeros((n, 3), dtype=jnp.float32)
-    count_emission = jnp.ones((n,), dtype=bool)
-    schedule = list(cfg.nee_schedule)
-    for depth in range(cfg.max_depth):
-        res = trace_closest(scene, o, d, valid, cfg.queue_multiplier)
-        hit = S.compute_hits(scene, o, d, res.t, res.prim, cfg.origin_eps)
-        light = light + S.emission_at_hits(scene, hit, importance, count_emission)
-        num_nee, weight = schedule[depth] if depth < len(schedule) else (0, 0.0)
-        for s in range(num_nee):
-            for li in range(scene.num_lights):
-                k_u = jax.random.fold_in(key, 1000 + depth * 64 + s * 8 + li)
-                u = jax.random.uniform(k_u, (n, 2), dtype=jnp.float32)
-                o_s, d_s, max_t, li_imp, ok = S.nee_shadow_rays(
-                    scene, hit, importance, li, u, weight
-                )
-                res_s = trace_closest(scene, o_s, d_s, ok, cfg.queue_multiplier)
-                passes = res_s.t > max_t - cfg.shadow_eps
-                light = light + jnp.where((ok & passes)[:, None], li_imp, 0.0)
-        if depth + 1 < cfg.max_depth:
-            k_s = jax.random.fold_in(key, 2000 + depth)
-            o, d, importance, valid, count_emission = S.scatter(
-                scene, hit, importance, k_s, cfg.origin_eps,
-                cfg.hemisphere_sampling,
-            )
-    return light
 
 
 class ShardedRenderer:

@@ -1,0 +1,161 @@
+"""The one bounce loop.
+
+The reference's frame schedule (renderFrame, src/cudaRenderer.cu:
+2460-2558: closest-hit traversal -> per-depth NEE shadow passes ->
+BSDF scatter -> next traversal) exists in exactly one place here and is
+shared by the single-chip engine (render/engine.py), the sample-sharded
+multi-chip path, and the tile-sharded multi-chip path
+(parallel/shard.py) — so the three can't drift.
+
+``run_bounce_loop`` takes a mapping of stage callables; the engine
+passes per-stage ``jax.jit`` executables (one compiled trace reused by
+all traversals of a frame), the sharded paths pass the plain functions
+(the whole per-chip frame is one jit under shard_map).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..ops import shade as S
+from ..ops.traverse import trace_closest
+from ..render.flatscene import FlatScene
+
+
+def make_trace_fn(cfg: RenderConfig):
+    """Traversal backend selected by cfg.traversal:
+
+    * ``pallas``  — fused segment-major Pallas kernels (wavefront2)
+    * ``pallas1`` — the round-1 kernels (kept for comparison benches)
+    * ``xla``     — pure-XLA scan traversal
+    * ``auto``    — pallas on TPU, xla elsewhere
+    """
+    kind = cfg.traversal
+    if kind == "auto":
+        kind = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if kind == "pallas":
+        from ..ops.pallas.wavefront2 import trace_closest_wavefront
+
+        def trace(scene, o, d, valid, t_limit=None):
+            # reference-compat shadow semantics need hits beyond maxT,
+            # so only prune/kill by t_limit in the default mode
+            tl = None if cfg.reference_compat else t_limit
+            return trace_closest_wavefront(
+                scene, o, d, valid, tl, cfg.queue_multiplier,
+                kill_eps=cfg.shadow_eps,
+            )
+
+    elif kind == "pallas1":
+        from ..ops.pallas.wavefront import trace_closest_wavefront as t1
+
+        def trace(scene, o, d, valid, t_limit=None):
+            tl = None if cfg.reference_compat else t_limit
+            return t1(scene, o, d, valid, tl, cfg.queue_multiplier)
+
+    elif kind == "xla":
+
+        def trace(scene, o, d, valid, t_limit=None):
+            return trace_closest(scene, o, d, valid, cfg.queue_multiplier)
+
+    else:
+        raise ValueError(f"unknown traversal backend {cfg.traversal!r}")
+
+    return trace
+
+
+def make_stage_fns(cfg: RenderConfig):
+    """The per-frame stage functions (pure; jit them or not)."""
+    trace = make_trace_fn(cfg)
+
+    def shade_hit(scene, o, d, t, prim, valid, importance, light,
+                  count_emission):
+        hit = S.compute_hits(scene, o, d, t, prim, cfg.origin_eps)
+        if not cfg.reference_compat:
+            light = light + S.emission_at_hits(
+                scene, hit, importance, count_emission
+            )
+            if scene.has_env:
+                # escaped counted paths pick up the environment
+                miss = valid & (prim < 0)
+                light = light + S.env_miss_radiance(
+                    scene, d, importance, miss, count_emission
+                )
+        return hit, light
+
+    def nee_prep(scene, hit, importance, key, li, weight):
+        u = jax.random.uniform(key, (hit.t.shape[0], 2), dtype=jnp.float32)
+        return S.nee_shadow_rays(
+            scene, hit, importance, li, u, weight,
+            compat_two_sided=cfg.reference_compat,
+        )
+
+    def nee_accum(light, t_s, prim_s, max_t, li_imp, ok):
+        passes = t_s > max_t - cfg.shadow_eps
+        if cfg.reference_compat:
+            passes = passes & (prim_s >= 0)
+        return light + jnp.where((ok & passes)[:, None], li_imp, 0.0)
+
+    def scatter(scene, hit, importance, key):
+        return S.scatter(scene, hit, importance, key,
+                         cfg.origin_eps, cfg.hemisphere_sampling)
+
+    return {
+        "trace": trace,
+        "shade_hit": shade_hit,
+        "nee_prep": nee_prep,
+        "nee_accum": nee_accum,
+        "scatter": scatter,
+    }
+
+
+def run_bounce_loop(J, cfg: RenderConfig, scene: FlatScene, o, d, key,
+                    valid=None):
+    """Trace and shade the given camera/primary rays through the full
+    depth/NEE schedule.  Returns (light [N, 3], dropped).
+
+    J is a stage mapping from make_stage_fns (optionally per-stage
+    jitted).  NEE RNG streams are derived by nested fold_in over
+    (depth, sample, light) so they never alias regardless of the light
+    count or NEE sample count.
+    """
+    n = o.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    importance = jnp.ones((n, 3), dtype=jnp.float32)
+    light = jnp.zeros((n, 3), dtype=jnp.float32)
+    count_emission = jnp.ones((n,), dtype=bool)
+    dropped = jnp.int32(0)
+
+    schedule = list(cfg.nee_schedule)
+    for depth in range(cfg.max_depth):
+        res = J["trace"](scene, o, d, valid)
+        dropped = dropped + res.dropped
+        hit, light = J["shade_hit"](
+            scene, o, d, res.t, res.prim, valid, importance, light,
+            count_emission,
+        )
+        num_nee, weight = (
+            schedule[depth] if depth < len(schedule) else (0, 0.0)
+        )
+        k_d = jax.random.fold_in(key, 1000 + depth)
+        for s in range(num_nee):
+            k_s = jax.random.fold_in(k_d, s)
+            for li in range(scene.num_lights):
+                k_u = jax.random.fold_in(k_s, li)
+                o_s, d_s, max_t, li_imp, ok = J["nee_prep"](
+                    scene, hit, importance, k_u, li, float(weight)
+                )
+                res_s = J["trace"](scene, o_s, d_s, ok, max_t)
+                dropped = dropped + res_s.dropped
+                light = J["nee_accum"](
+                    light, res_s.t, res_s.prim, max_t, li_imp, ok
+                )
+        if depth + 1 < cfg.max_depth:
+            k_b = jax.random.fold_in(key, 2000 + depth)
+            o, d, importance, valid, count_emission = J["scatter"](
+                scene, hit, importance, k_b
+            )
+    return light, dropped

@@ -36,8 +36,7 @@ import jax.numpy as jnp
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..ops import filters as F
 from ..ops import shade as S
-from ..ops.traverse import trace_closest
-from ..ops.pallas.wavefront import trace_closest_wavefront
+from .bounce import make_stage_fns, run_bounce_loop
 from ..scene import static_scene as st
 from ..scene.camera import Camera, CutracerCamera
 from ..scene.collada import load_scene_info
@@ -151,52 +150,6 @@ class WavefrontRenderer:
                 math.tan(math.radians(self.camera.vFov) / 2),
             )
 
-        use_pallas = cfg.traversal == "pallas" or (
-            cfg.traversal == "auto" and jax.default_backend() == "tpu"
-        )
-
-        def trace(scene, o, d, valid, t_limit=None):
-            if use_pallas:
-                # reference-compat shadow semantics need hits beyond maxT,
-                # so only prune by t_limit in the default mode
-                tl = None if cfg.reference_compat else t_limit
-                return trace_closest_wavefront(
-                    scene, o, d, valid, tl, cfg.queue_multiplier
-                )
-            return trace_closest(scene, o, d, valid, cfg.queue_multiplier)
-
-        def shade_hit(scene, o, d, t, prim, valid, importance, light,
-                      count_emission):
-            hit = S.compute_hits(scene, o, d, t, prim, cfg.origin_eps)
-            if not cfg.reference_compat:
-                light = light + S.emission_at_hits(
-                    scene, hit, importance, count_emission
-                )
-                if self.scene.has_env:
-                    # escaped counted paths pick up the environment
-                    miss = valid & (prim < 0)
-                    light = light + S.env_miss_radiance(
-                        scene, d, importance, miss, count_emission
-                    )
-            return hit, light
-
-        def nee_prep(scene, hit, importance, key, li, weight):
-            u = jax.random.uniform(key, (hit.t.shape[0], 2), dtype=jnp.float32)
-            return S.nee_shadow_rays(
-                scene, hit, importance, li, u, weight,
-                compat_two_sided=cfg.reference_compat,
-            )
-
-        def nee_accum(light, t_s, prim_s, max_t, li_imp, ok):
-            passes = t_s > max_t - cfg.shadow_eps
-            if cfg.reference_compat:
-                passes = passes & (prim_s >= 0)
-            return light + jnp.where((ok & passes)[:, None], li_imp, 0.0)
-
-        def scatter(scene, hit, importance, key):
-            return S.scatter(scene, hit, importance, key,
-                             cfg.origin_eps, cfg.hemisphere_sampling)
-
         def film(light, final_img, image_samples):
             img = F.reconstruct(light, cfg.width, cfg.height,
                                 cfg.samples_per_frame)
@@ -208,14 +161,14 @@ class WavefrontRenderer:
             post = F.median_filter_3x3(final, cfg.reference_compat)
             return final, post
 
+        stages = make_stage_fns(cfg)
         self._jit = {
             "raygen": jax.jit(raygen),
-            "trace": jax.jit(trace),
-            "trace_shadow": jax.jit(trace),
-            "shade_hit": jax.jit(shade_hit),
-            "nee_prep": jax.jit(nee_prep, static_argnums=(4, 5)),
-            "nee_accum": jax.jit(nee_accum),
-            "scatter": jax.jit(scatter),
+            "trace": jax.jit(stages["trace"]),
+            "shade_hit": jax.jit(stages["shade_hit"]),
+            "nee_prep": jax.jit(stages["nee_prep"], static_argnums=(4, 5)),
+            "nee_accum": jax.jit(stages["nee_accum"]),
+            "scatter": jax.jit(stages["scatter"]),
             "film": jax.jit(film),
         }
         self._render_jit = self._run_frame
@@ -223,44 +176,13 @@ class WavefrontRenderer:
 
     def _run_frame(self, scene, cam_arrays, key, final_img, image_samples):
         """Drive the stage executables for one frame (renderFrame,
-        src/cudaRenderer.cu:2460-2558)."""
-        cfg = self.config
+        src/cudaRenderer.cu:2460-2558); the schedule itself lives in
+        render/bounce.py, shared with the multi-chip paths."""
         J = self._jit
         o, d = J["raygen"](cam_arrays, key)
-        n = o.shape[0]
-        valid = jnp.ones((n,), dtype=bool)
-        importance = jnp.ones((n, 3), dtype=jnp.float32)
-        light = jnp.zeros((n, 3), dtype=jnp.float32)
-        count_emission = jnp.ones((n,), dtype=bool)
-        dropped = jnp.int32(0)
-
-        schedule = list(cfg.nee_schedule)
-        for depth in range(cfg.max_depth):
-            res = J["trace"](scene, o, d, valid)
-            dropped = dropped + res.dropped
-            hit, light = J["shade_hit"](
-                scene, o, d, res.t, res.prim, valid, importance, light,
-                count_emission,
-            )
-            num_nee, weight = (
-                schedule[depth] if depth < len(schedule) else (0, 0.0)
-            )
-            for s in range(num_nee):
-                for li in range(self.scene.num_lights):
-                    k_u = jax.random.fold_in(key, 1000 + depth * 64 + s * 8 + li)
-                    o_s, d_s, max_t, li_imp, ok = J["nee_prep"](
-                        scene, hit, importance, k_u, li, float(weight)
-                    )
-                    res_s = J["trace_shadow"](scene, o_s, d_s, ok, max_t)
-                    dropped = dropped + res_s.dropped
-                    light = J["nee_accum"](
-                        light, res_s.t, res_s.prim, max_t, li_imp, ok
-                    )
-            if depth + 1 < cfg.max_depth:
-                k_s = jax.random.fold_in(key, 2000 + depth)
-                o, d, importance, valid, count_emission = J["scatter"](
-                    scene, hit, importance, k_s
-                )
+        light, dropped = run_bounce_loop(
+            J, self.config, scene, o, d, key
+        )
         final, post = J["film"](light, final_img, image_samples)
         return final, post, dropped
 

@@ -87,6 +87,16 @@ class FlatBVH:
     width: int = struct.field(pytree_node=False)
     max_leaf: int = struct.field(pytree_node=False)
     root_is_leaf: bool = struct.field(pytree_node=False)
+    #: static segment schedule for the fused wavefront kernels
+    #: (ops/pallas/wavefront2.py).  Tuple over levels; each level is
+    #: (seg_nodes[S], child_kind[S*W], child_pair[S*W],
+    #:  child_lstart[S*W], child_lcnt[S*W], child_forced[S*W]) where
+    #: kind 0 = empty slot, 1 = inner child (pair = index into the next
+    #: level's segment list), 2 = leaf child (lstart/lcnt index the
+    #: BVH-sorted primitive array).  Derived from the preorder-DFS
+    #: child-order invariant of BVHSubTree::compress
+    #: (reference src/bvh.cpp:234-273).
+    wf_sched: Tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num_levels(self) -> int:
@@ -163,6 +173,73 @@ def _bsdf_record(b) -> Tuple[int, np.ndarray, np.ndarray, float]:
     raise TypeError(f"unsupported BSDF {type(b)}")
 
 
+def _build_wf_schedule(flat) -> Tuple:
+    """Static per-level segment schedule for the fused wavefront kernels.
+
+    Segments are the *inner* nodes of each level, in level (= preorder)
+    order; leaf children are intersected inline at their parent's
+    segment, so leaf nodes never become segments.  Returns a tuple over
+    levels of (seg_nodes, child_kind, child_pair, child_lstart,
+    child_lcnt, child_forced) flat int tuples.
+    """
+    W = flat.width
+    leaf_range = flat.leaf_range
+    leaf_start = flat.leaf_start
+    outlets = flat.outlets
+
+    if leaf_range[0] > 0:  # root is a leaf: one virtual segment
+        kind = [2] + [0] * (W - 1)
+        return ((
+            (0,),
+            tuple(kind),
+            tuple([-1] * W),
+            tuple([int(leaf_start[0])] + [0] * (W - 1)),
+            tuple([int(leaf_range[0])] + [0] * (W - 1)),
+            tuple([1] + [0] * (W - 1)),
+        ),)
+
+    sched = []
+    inner_per_level = [
+        [int(n) for n in lv if leaf_range[n] == 0] for lv in flat.levels
+    ]
+    for lvl, inner in enumerate(inner_per_level):
+        if not inner:
+            break
+        nxt = (
+            {n: i for i, n in enumerate(inner_per_level[lvl + 1])}
+            if lvl + 1 < len(inner_per_level)
+            else {}
+        )
+        kinds, pairs, lstarts, lcnts = [], [], [], []
+        for n in inner:
+            for w in range(W):
+                o = int(outlets[n, w])
+                if o < 0:
+                    kinds.append(0)
+                    pairs.append(-1)
+                    lstarts.append(0)
+                    lcnts.append(0)
+                elif leaf_range[o] > 0:
+                    kinds.append(2)
+                    pairs.append(-1)
+                    lstarts.append(int(leaf_start[o]))
+                    lcnts.append(int(leaf_range[o]))
+                else:
+                    kinds.append(1)
+                    pairs.append(nxt[o])
+                    lstarts.append(0)
+                    lcnts.append(0)
+        sched.append((
+            tuple(inner),
+            tuple(kinds),
+            tuple(pairs),
+            tuple(lstarts),
+            tuple(lcnts),
+            tuple([0] * (len(inner) * W)),
+        ))
+    return tuple(sched)
+
+
 def flatten_scene(
     scene: st.Scene,
     tree_width: int = 4,
@@ -205,6 +282,13 @@ def flatten_scene(
     P = T + S
     if P == 0:
         raise ValueError("scene has no primitives")
+    if P >= 1 << 24:
+        # the traversal hot path carries primitive indices as exact f32
+        # integers; above 2^24 they would round silently
+        raise ValueError(
+            f"scene has {P} primitives; the float32-payload traversal "
+            f"supports at most 2^24-1 (= 16,777,215)"
+        )
 
     v0 = np.zeros((P, 3), np.float64)
     v1 = np.zeros((P, 3), np.float64)
@@ -387,6 +471,7 @@ def flatten_scene(
         width=flat.width,
         max_leaf=max(flat.max_leaf_range, 1),
         root_is_leaf=bool(flat.leaf_range[0] > 0),
+        wf_sched=_build_wf_schedule(flat),
     )
 
     # packed prim rows padded to 128 columns (Pallas lane-tile DMA

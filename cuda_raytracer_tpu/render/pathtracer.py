@@ -121,6 +121,10 @@ class PathTracer:
     def set_frame_size(self, width: int, height: int) -> None:
         self.w, self.h = width, height
         self.sample_buffer = np.zeros((height, width, 3), dtype=np.float64)
+        #: per-pixel squared standard error of the pixel-mean estimate
+        #: (sample variance / ns_aa) — enables z-tests against other
+        #: estimators of the same integral (tests/test_radiance.py)
+        self.se2_buffer = np.zeros((height, width, 3), dtype=np.float64)
         if self.scene is not None and self.camera is not None:
             self.state = State.READY
 
@@ -262,10 +266,15 @@ class PathTracer:
         y = (py + u[:, 1]) / self.h
         o, d = self.camera.generate_rays(x, 1.0 - y)
         radiance = self._trace(o, d, rng)
-        acc = radiance.reshape(tw * th, self.ns_aa, 3).mean(axis=1)
+        per_pix = radiance.reshape(tw * th, self.ns_aa, 3)
+        acc = per_pix.mean(axis=1)
+        se2 = per_pix.var(axis=1, ddof=1) / self.ns_aa
         self.sample_buffer[
             item.tile_y : item.tile_y + th, item.tile_x : item.tile_x + tw
         ] = acc.reshape(th, tw, 3)
+        self.se2_buffer[
+            item.tile_y : item.tile_y + th, item.tile_x : item.tile_x + tw
+        ] = se2.reshape(th, tw, 3)
 
     def raytrace_pixel(self, x: int, y: int, rng=None) -> np.ndarray:
         """raytrace_pixel (stub at pathtracer.cpp:499-508; implemented):

@@ -75,7 +75,7 @@ def test_furnace():
     scene = sphere_under_env(env, albedo=1.0)
     r = WavefrontRenderer(
         RenderConfig(width=32, height=24, samples_per_frame=8, max_depth=10,
-                     hemisphere_sampling=False)
+                     hemisphere_sampling='uniform')
     )
     r.load_static_scene(scene)
     r.set_viewpoint([0, 0, 4], [0, 0, 0])

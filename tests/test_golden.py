@@ -46,7 +46,7 @@ def _load_golden(name: str) -> np.ndarray:
 def _render(dae: str, spp: int = 32, depth: int = 6, w: int = 96, h: int = 72):
     r = WavefrontRenderer(
         RenderConfig(width=w, height=h, samples_per_frame=8, max_depth=depth,
-                     hemisphere_sampling=False)
+                     hemisphere_sampling='uniform')
     )
     r.camera_mode = "cutracer"
     r.load_scene(os.path.join(SCENES, dae))

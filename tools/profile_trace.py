@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--xla", action="store_true")
     ap.add_argument("--scatter", action="store_true")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--pallas2", action="store_true")
     args = ap.parse_args()
 
     from cuda_raytracer_tpu.config import RenderConfig
@@ -78,6 +79,21 @@ def main():
         dt, res = timed(f, scene, o, d, valid)
         print(f"pallas trace: {dt*1e3:.2f} ms  -> {N/dt/1e6:.2f} Mrays/s, "
               f"hits={int((res.prim >= 0).sum())}, dropped={int(res.dropped)}")
+
+    if args.pallas2:
+        from cuda_raytracer_tpu.ops.pallas.wavefront2 import (
+            trace_closest_wavefront as trace2,
+        )
+
+        f = jax.jit(lambda s, o, d, v: trace2(s, o, d, v))
+        dt, res = timed(f, scene, o, d, valid)
+        print(f"pallas2 trace: {dt*1e3:.2f} ms  -> {N/dt/1e6:.2f} Mrays/s, "
+              f"hits={int((res.prim >= 0).sum())}, dropped={int(res.dropped)}")
+        # shadow variant (early-kill path)
+        tl = jnp.full((N,), 1.5, jnp.float32)
+        f2 = jax.jit(lambda s, o, d, v, tl: trace2(s, o, d, v, tl))
+        dt, res = timed(f2, scene, o, d, valid, tl)
+        print(f"pallas2 shadow: {dt*1e3:.2f} ms -> {N/dt/1e6:.2f} Mrays/s")
 
     if args.xla:
         from cuda_raytracer_tpu.ops.traverse import trace_closest
