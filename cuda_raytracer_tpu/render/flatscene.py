@@ -97,6 +97,17 @@ class FlatBVH:
     #: child-order invariant of BVHSubTree::compress
     #: (reference src/bvh.cpp:234-273).
     wf_sched: Tuple = struct.field(pytree_node=False, default=())
+    #: packed per-node row for the packet-DFS traversal
+    #: (ops/pallas/packet_dfs.py), all f32: [cmin W*3, cmax W*3,
+    #: child kind (0 none / 1 inner / 2 leaf), child target (inner:
+    #: node id; leaf: prim-group row = leaf_start//8), child leaf
+    #: count, child leaf lane offset (leaf_start%8)] = 10W cols,
+    #: zero-padded to 128
+    node_dfs: jnp.ndarray = None  # [N, 128] f32
+    #: prim-group table for the packet-DFS leaf stage: row g packs
+    #: prims 8g..8g+7 as 16 f32 fields each (v0.xyz, v1.xyz, v2.xyz,
+    #: type, pad...) so one [1,128] row reshapes to [8,16] in-kernel
+    prim_groups: jnp.ndarray = None  # [G, 128] f32
 
     @property
     def num_levels(self) -> int:
@@ -456,6 +467,62 @@ def flatten_scene(
             [node_packed, np.zeros((len(node_packed), pad_cols), np.float32)],
             axis=1,
         )
+    # --- packet-DFS node rows (ops/pallas/packet_dfs.py) ---
+    # [cmin 3W][cmax 3W][kind W][target W][lcnt W][loff W] = 10W f32
+    n_nodes = len(flat.outlets)
+    okind = np.zeros((n_nodes, w), np.float32)
+    otarget = np.zeros((n_nodes, w), np.float32)
+    olcnt = np.zeros((n_nodes, w), np.float32)
+    oloff = np.zeros((n_nodes, w), np.float32)
+    ch = flat.outlets
+    chc = np.clip(ch, 0, n_nodes - 1)
+    ch_leaf = (flat.leaf_range[chc] > 0) & (ch >= 0)
+    ch_inner = (flat.leaf_range[chc] == 0) & (ch >= 0)
+    okind[ch_leaf] = 2.0
+    okind[ch_inner] = 1.0
+    ls = flat.leaf_start[chc]
+    lr = flat.leaf_range[chc]
+    otarget[ch_inner] = chc[ch_inner]
+    otarget[ch_leaf] = ls[ch_leaf] // 8  # prim-group row
+    olcnt[ch_leaf] = lr[ch_leaf]
+    oloff[ch_leaf] = ls[ch_leaf] % 8
+    node_dfs = np.concatenate(
+        [
+            flat.child_min.reshape(-1, 3 * w),
+            flat.child_max.reshape(-1, 3 * w),
+            okind, otarget, olcnt, oloff,
+        ],
+        axis=1,
+    ).astype(np.float32)
+    node_dfs = np.concatenate(
+        [node_dfs,
+         np.zeros((n_nodes, 128 - node_dfs.shape[1]), np.float32)],
+        axis=1,
+    )
+    if flat.leaf_range[0] > 0:
+        # root is itself a leaf: synthesize one leaf child covering it
+        node_dfs[0] = 0.0
+        node_dfs[0, 0:3] = -3e30
+        node_dfs[0, 3 * w : 3 * w + 3] = 3e30
+        node_dfs[0, 6 * w] = 2.0
+        node_dfs[0, 7 * w] = flat.leaf_start[0] // 8
+        node_dfs[0, 8 * w] = flat.leaf_range[0]
+        node_dfs[0, 9 * w] = flat.leaf_start[0] % 8
+
+    # prim-group rows: 8 prims x 16 fields (v0, v1, v2, type), padded
+    # so group rows never overrun and degenerate pad prims never hit
+    # +5 pad groups: an unaligned max-size leaf near the table end reads
+    # up to ceil((7 + max_leaf)/8) rows past its start
+    G = (P + 7) // 8 + 5
+    pg = np.zeros((G * 8, 16))
+    pg[:P, 0:3] = v0[order]
+    pg[:P, 3:6] = v1[order]
+    pg[:P, 6:9] = v2[order]
+    pg[:P, 9] = ptype[order]
+    prim_groups = np.concatenate(
+        [pg.reshape(G, 128), np.zeros((G, 0))], axis=1
+    ).astype(np.float32)
+
     flat_bvh = FlatBVH(
         outlets=i32(flat.outlets),
         child_min=f32(flat.child_min),
@@ -463,6 +530,8 @@ def flatten_scene(
         leaf_start=i32(flat.leaf_start),
         leaf_range=i32(flat.leaf_range),
         node_packed=f32(node_packed),
+        node_dfs=f32(node_dfs),
+        prim_groups=f32(prim_groups),
         levels=tuple(tuple(int(i) for i in lv) for lv in flat.levels),
         level_child_valid=level_child_valid,
         level_is_leaf=level_is_leaf,

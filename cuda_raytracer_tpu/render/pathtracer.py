@@ -406,9 +406,17 @@ class PathTracer:
                         active = diffuse & (rad.sum(1) > 0) & (cos_s > 1e-4)
                         if active.any():
                             occ = np.ones(n, bool)
+                            # the shadow origin is offset 1e-3 along the
+                            # normal, so the light-point distance from
+                            # that origin shrinks by ~cos*1e-3; measure
+                            # maxT from the offset origin or the
+                            # pass/occlude threshold sits knife-edge on
+                            # hits against the light quad itself
+                            cos_off = (nrm * wi).sum(1)
                             occ[active] = self._occluded(
                                 pt[active] + nrm[active] * 1e-3,
-                                wi[active], dist[active],
+                                wi[active],
+                                dist[active] - cos_off[active] * 1e-3,
                             )
                             add = active & (~occ)
                             light[add] += contrib[add]

@@ -13,7 +13,6 @@ under H0 is ~1e-5 even allowing heavy-tailed CLT slack.
 import time
 
 import numpy as np
-import pytest
 
 from cuda_raytracer_tpu.config import RenderConfig
 from cuda_raytracer_tpu.models.cornell import cornell_box_scene
@@ -40,11 +39,6 @@ def _camera():
     return cam
 
 
-@pytest.mark.xfail(
-    strict=False,
-    reason="~20% engine-vs-oracle radiance bias under investigation "
-    "(found by this test; tracked for round 2)",
-)
 def test_engine_matches_oracle_per_pixel_ztest():
     scene = cornell_box_scene(with_spheres=True)  # diffuse spheres
 
