@@ -1,27 +1,42 @@
-"""Packet-DFS BVH traversal: one Pallas kernel per trace (TPU v3).
+"""Packet-DFS BVH traversal: one Pallas kernel per trace.
 
 Third-generation traversal design.  The BFS queue machinery of
 wavefront/wavefront2 (per-level classify -> compact -> scatter, the
 direct analog of the reference's per-level kernel pipeline,
 src/cudaRenderer.cu:1304-1489) is replaced by *packet* traversal:
 
-* Rays are grouped into fixed packets of C=1024 consecutive ids (one
-  [8,128] vector register per f32 attribute).  Each packet depth-first
-  traverses the wide BVH exactly once, with its node stack in SMEM.
+* Rays are grouped into fixed packets of C consecutive ids.  Each
+  packet depth-first traverses the wide BVH exactly once, with its node
+  stack in SMEM.
 * A node's child is descended if ANY live lane enters its box (union
   semantics).  Correctness: each lane's true traversal path is a subset
   of the packet union, so the minimum over the union's leaf hits is the
   lane's true closest hit; extra leaf tests only ever produce real
   intersections, which cannot beat the true minimum.
 * Per-lane best-t (the reference's evolving minT gate,
-  src/cudaRenderer.cu:978-1003) prunes children per lane; inner
-  children are pushed far-to-near so near subtrees tighten the bound
-  first, and leaf children are intersected inline at the parent.
+  src/cudaRenderer.cu:978-1003) prunes children per lane; leaf children
+  are intersected inline at the parent so the bound tightens before
+  deeper descent.
 * Ray payloads never move: a packet's rays stay resident in VMEM for
   the whole traversal (no per-level HBM round trips, no compaction),
   and the node and primitive tables are VMEM-resident too.  The grid
   pipelines packets, so the only HBM traffic is one payload read and
   one result write per ray.
+
+TPU-layout specifics (what makes a visit cheap):
+
+* The node table stores one 128-col row per CHILD (8 per node), so a
+  visit DMAs one [8,128] block and the slab test for all W children
+  runs as one set of [8,C] vector ops ([8,1] bounds x [1,C] rays) —
+  no scalar loads in the vector path.  (Direct dynamically-indexed
+  VMEM reads lower to row-select trees with cost and code size
+  proportional to the table; DMAs take dynamic offsets in hardware.)
+* The only vector->scalar crossing per visit is ONE extracted child
+  hit bitmask; push targets come from consecutive BFS child ids
+  (inner_base + w) read from an SMEM scalar-prefetch metadata table,
+  so push control flow is pure scalar/SMEM arithmetic.
+* Each leaf child's prims sit in 8-aligned prim groups; its (grp0,
+  ngroups) ride in spare lanes of the child's own node row.
 
 Shadow passes (t_limit given) start the bound at the light distance —
 occluders beyond the light are never even recorded — and kill lanes
@@ -45,21 +60,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...render.flatscene import FlatScene
 
-#: rays per packet: 8x128 = one vector register per f32 attribute
+#: rays per packet
 C = 1024
 #: finite "no limit" initial bound (must not be inf: inf*0 = nan)
 T_NO_LIMIT = 1e30
 STACK_CAP = 256
 MAX_VISITS = 1 << 20
-
-#: sorting networks (descending) for the child push order
-_NETS = {
-    2: [(0, 1)],
-    4: [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)],
-    8: [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
-        (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7), (2, 4), (3, 5),
-        (1, 2), (3, 4), (5, 6)],
-}
 
 
 class WaveTraceResult(NamedTuple):
@@ -69,12 +75,17 @@ class WaveTraceResult(NamedTuple):
 
 
 def _dfs_kernel(
+    meta_ref,  # SMEM scalar prefetch: [4*Nd] i32 node metadata
     payload_ref,  # [8, C] block: o.xyz, d.xyz, pad, tub0
-    nodes_ref,  # [N, 128] node_dfs rows (VMEM resident)
+    nodes_ref,  # [8*Nd, 128] node child rows (VMEM resident)
     prims_ref,  # [G, 128] prim-group rows (VMEM resident)
     out_ref,  # [4, C] block: t, prim, visits, pad
-    tiles,  # [48, 128] scratch: tiled o / inv_d
+    aux,  # [4, C] scratch: inv_d rows
     state,  # [3, C] scratch: tub row, prim row, best-t row
+    nblk,  # [8, 128] scratch: current node block
+    pblk,  # [1, 1, 128] scratch: current prim-group row
+    nsem,
+    psem,
     stack,  # SMEM [STACK_CAP] i32
     *,
     width: int,
@@ -83,23 +94,29 @@ def _dfs_kernel(
 ):
     W = width
 
-    def tile(row):
-        return row.reshape(8, 128)
-
-    o_row = [payload_ref[a : a + 1, :] for a in range(3)]
-    d_row = [payload_ref[a + 3 : a + 4, :] for a in range(3)]
+    o_x = payload_ref[0:1, :]
+    o_y = payload_ref[1:2, :]
+    o_z = payload_ref[2:3, :]
+    d_x = payload_ref[3:4, :]
+    d_y = payload_ref[4:5, :]
+    d_z = payload_ref[5:6, :]
     tub0 = payload_ref[7:8, :]
 
-    for a in range(3):
-        tiles[8 * a : 8 * a + 8, :] = tile(o_row[a])
-        tiles[24 + 8 * a : 24 + 8 * a + 8, :] = tile(1.0 / d_row[a])
+    aux[0:1, :] = 1.0 / d_x
+    aux[1:2, :] = 1.0 / d_y
+    aux[2:3, :] = 1.0 / d_z
 
     state[0:1, :] = tub0
     state[1:2, :] = jnp.full((1, C), -1.0, jnp.float32)
     state[2:3, :] = jnp.full((1, C), T_NO_LIMIT, jnp.float32)
 
     stack[0] = 0
+    stack[STACK_CAP - 1] = 0  # junk slot for inactive pushes
     live0 = jnp.sum((tub0 >= 0.0).astype(jnp.int32))
+    # 2^w weights for the child-hit bitmask reduction (built in-kernel:
+    # captured constant arrays are rejected by pallas_call)
+    wexp = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    w2 = jax.lax.shift_left(jnp.int32(1), wexp).astype(jnp.float32)
 
     def cond(c):
         sp, live, visits = c
@@ -109,80 +126,102 @@ def _dfs_kernel(
         sp, live, visits = c
         node = stack[sp - 1]
         sp = sp - 1
-        nrow = nodes_ref[pl.ds(node, 1), :]
+        cp = pltpu.make_async_copy(
+            nodes_ref.at[pl.ds(node * 8, 8), :], nblk, nsem
+        )
+        cp.start()
+        cp.wait()
+        blk = nblk
 
-        ox = tiles[0:8, :]
-        oy = tiles[8:16, :]
-        oz = tiles[16:24, :]
-        ix = tiles[24:32, :]
-        iy = tiles[32:40, :]
-        iz = tiles[40:48, :]
-        tub_t = tile(state[0:1, :])
-        alive_t = tub_t >= 0.0
+        inv_x = aux[0:1, :]
+        inv_y = aux[1:2, :]
+        inv_z = aux[2:3, :]
+        tub = state[0:1, :]
+        alive = tub >= 0.0
 
-        keys = []
-        kinds = []
-        entered = []
+        mnx = blk[:, 0:1]
+        mny = blk[:, 1:2]
+        mnz = blk[:, 2:3]
+        mxx = blk[:, 3:4]
+        mxy = blk[:, 4:5]
+        mxz = blk[:, 5:6]
+        # slab test, all W children at once: [8,1] x [1,C] -> [8,C]
+        # (intersectBBox, src/cudaRenderer.cu:154-207)
+        t0x = (mnx - o_x) * inv_x
+        t1x = (mxx - o_x) * inv_x
+        t0y = (mny - o_y) * inv_y
+        t1y = (mxy - o_y) * inv_y
+        t0z = (mnz - o_z) * inv_z
+        t1z = (mxz - o_z) * inv_z
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        inside = (
+            (o_x >= mnx) & (o_x <= mxx)
+            & (o_y >= mny) & (o_y <= mxy)
+            & (o_z >= mnz) & (o_z <= mxz)
+        )
+        m = (((tn <= tf) & (tf >= 0.0) & (tn <= tub)) | inside) & alive
+        # ONE vector->scalar crossing: the child-hit bitmask
+        anyv = jnp.max(jnp.where(m, 1.0, 0.0), axis=1, keepdims=True)
+        mask = jnp.sum(anyv * w2).astype(jnp.int32)
+
+        ibase = meta_ref[4 * node]
+        icnt = meta_ref[4 * node + 1]
+
+        # ---- push inner children (consecutive BFS ids) ----
+        # Reverse slot order so slot 0 (SAH-first child) pops first.
+        for w in range(W - 1, -1, -1):
+            act = (w < icnt) & (jax.lax.shift_right_logical(
+                mask, w) & 1 == 1)
+            idx = jnp.where(act, sp, STACK_CAP - 1)
+            stack[idx] = jnp.where(
+                act, ibase + w, stack[STACK_CAP - 1]
+            )
+            sp = sp + act.astype(jnp.int32)
+
+        # ---- leaf children: tighten the bound inline ----
+        srow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
         for w in range(W):
-            mnx = nrow[0:1, 3 * w + 0 : 3 * w + 1]
-            mny = nrow[0:1, 3 * w + 1 : 3 * w + 2]
-            mnz = nrow[0:1, 3 * w + 2 : 3 * w + 3]
-            mxx = nrow[0:1, 3 * W + 3 * w + 0 : 3 * W + 3 * w + 1]
-            mxy = nrow[0:1, 3 * W + 3 * w + 1 : 3 * W + 3 * w + 2]
-            mxz = nrow[0:1, 3 * W + 3 * w + 2 : 3 * W + 3 * w + 3]
-            # slab test (intersectBBox, src/cudaRenderer.cu:154-207)
-            t0x = (mnx - ox) * ix
-            t1x = (mxx - ox) * ix
-            t0y = (mny - oy) * iy
-            t1y = (mxy - oy) * iy
-            t0z = (mnz - oz) * iz
-            t1z = (mxz - oz) * iz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.minimum(t0z, t1z),
-            )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.maximum(t0z, t1z),
-            )
-            inside = (
-                (ox >= mnx) & (ox <= mxx)
-                & (oy >= mny) & (oy <= mxy)
-                & (oz >= mnz) & (oz <= mxz)
-            )
-            m = (((tn <= tf) & (tf >= 0.0) & (tn <= tub_t)) | inside) & alive_t
-            kind_w = nrow[0, 6 * W + w]
-            n_m = jnp.sum(m.astype(jnp.float32))
-            ent_w = (n_m > 0.0) & (kind_w > 0.5)
-            key_w = jnp.min(
-                jnp.where(m, jnp.where(inside, 0.0, tn), T_NO_LIMIT)
-            )
-            keys.append(key_w)
-            kinds.append(kind_w)
-            entered.append(ent_w)
+            leaf_act = (w >= icnt) & (
+                jax.lax.shift_right_logical(mask, w) & 1 == 1
+            ) & (not _SKIP_LEAF)
 
-        # ---- leaf children first: tighten the bound in child order ----
-        for w in range(W):
-            is_leaf = entered[w] & (kinds[w] > 1.5)
-
-            @pl.when(is_leaf)
-            def _(w=w):
-                grp0 = nrow[0, 7 * W + w].astype(jnp.int32)
-                lcnt = nrow[0, 8 * W + w].astype(jnp.int32)
-                loff = nrow[0, 9 * W + w].astype(jnp.int32)
-                ngroups = (loff + lcnt + 7) // 8
-
-                o_x, o_y, o_z = o_row
-                d_x, d_y, d_z = d_row
-                srow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            @pl.when(leaf_act)
+            def _(w=w, blk=blk):
+                grp0 = blk[w, 6].astype(jnp.int32)
+                ngroups = blk[w, 7].astype(jnp.int32)
 
                 def group_body(g, _):
-                    grow = prims_ref[pl.ds(grp0 + g, 1), :]
-                    pb = grow.reshape(8, 16)
+                    gcp = pltpu.make_async_copy(
+                        prims_ref.at[pl.ds(grp0 + g, 1), :],
+                        pblk.at[0],
+                        psem.at[0],
+                    )
+                    gcp.start()
+                    gcp.wait()
+                    grow = pblk[0]
+                    # [1,128] -> [8,16]: prim s's fields to sublane s
+                    # (roll to lane 0 first: concat needs equal offsets)
+                    pb = jnp.concatenate(
+                        [
+                            pltpu.roll(
+                                grow, (128 - 16 * s) % 128, axis=1
+                            )[0:1, 0:16]
+                            for s in range(8)
+                        ],
+                        axis=0,
+                    )
                     v0x, v0y, v0z = pb[:, 0:1], pb[:, 1:2], pb[:, 2:3]
                     v1x, v1y, v1z = pb[:, 3:4], pb[:, 4:5], pb[:, 5:6]
                     v2x, v2y, v2z = pb[:, 6:7], pb[:, 7:8], pb[:, 8:9]
                     ptype = pb[:, 9:10]
+                    pids = pb[:, 10:11]
                     # triangle plane + half-plane tests
                     # (intersectRayTriangle, cu:217-270)
                     e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
@@ -219,7 +258,8 @@ def _dfs_kernel(
                     ocx, ocy, ocz = o_x - v0x, o_y - v0y, o_z - v0z
                     b_q = 2.0 * (ocx * d_x + ocy * d_y + ocz * d_z)
                     c_q = (
-                        ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
+                        ocx * ocx + ocy * ocy + ocz * ocz
+                        - radius * radius
                     )
                     disc = b_q * b_q - 4.0 * c_q
                     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -229,20 +269,30 @@ def _dfs_kernel(
                     ok_sph = (disc >= 0) & (t_sph > 0)
 
                     is_sph = ptype > 0.5
-                    t_k = jnp.where(is_sph, t_sph, t_tri)
-                    pidx8 = g * 8 + srow
-                    pvalid = (pidx8 >= loff) & (pidx8 < loff + lcnt)
+                    # pad prims carry type -1: not sphere, and their
+                    # zero triangles are degenerate (parallel) => miss
                     okm = (
-                        ((is_sph & ok_sph) | ((~is_sph) & ok_tri)) & pvalid
+                        (is_sph & ok_sph)
+                        | ((ptype > -0.5) & (~is_sph) & ok_tri)
                     )
+                    t_k = jnp.where(is_sph, t_sph, t_tri)
                     t_mat = jnp.where(okm, t_k, T_NO_LIMIT)
                     tbest = jnp.min(t_mat, axis=0, keepdims=True)
-                    kmin = jnp.argmin(t_mat, axis=0, keepdims=True)
-                    prim = ((grp0 + g) * 8 + kmin).astype(jnp.float32)
+                    # winner prim id: max orig id among exact-min slots
+                    # (deterministic; ties are same-t duplicates)
+                    prim = jnp.max(
+                        jnp.where(t_mat <= tbest, pids, -1.0),
+                        axis=0,
+                        keepdims=True,
+                    )
                     tub_row = state[0:1, :]
                     better = tbest < tub_row
-                    state[1:2, :] = jnp.where(better, prim, state[1:2, :])
-                    state[2:3, :] = jnp.where(better, tbest, state[2:3, :])
+                    state[1:2, :] = jnp.where(
+                        better, prim, state[1:2, :]
+                    )
+                    state[2:3, :] = jnp.where(
+                        better, tbest, state[2:3, :]
+                    )
                     state[0:1, :] = jnp.where(better, tbest, tub_row)
                     return 0
 
@@ -252,35 +302,12 @@ def _dfs_kernel(
                     killed = (state[1:2, :] >= 0.0) & (
                         state[2:3, :] < tub0 - kill_eps
                     )
-                    state[0:1, :] = jnp.where(killed, -1.0, state[0:1, :])
+                    state[0:1, :] = jnp.where(
+                        killed, -1.0, state[0:1, :]
+                    )
 
         if do_kill:
             live = jnp.sum((state[0:1, :] >= 0.0).astype(jnp.int32))
-
-        # ---- push inner children far-to-near (descending entry t) ----
-        slots = [
-            (
-                jnp.where(entered[w] & (kinds[w] < 1.5), keys[w], -2.0),
-                nrow[0, 7 * W + w],
-            )
-            for w in range(W)
-        ]
-        net = _NETS.get(W) or [
-            (i, j) for i in range(W) for j in range(i + 1, W)
-        ]
-        for i, j in net:
-            a, b = slots[i], slots[j]
-            sw = a[0] < b[0]
-            slots[i] = (jnp.where(sw, b[0], a[0]), jnp.where(sw, b[1], a[1]))
-            slots[j] = (jnp.where(sw, a[0], b[0]), jnp.where(sw, a[1], b[1]))
-
-        for key_w, tgt_w in slots:
-            act = key_w > -2.0
-            idx = jnp.where(act, sp, STACK_CAP - 1)
-            stack[idx] = jnp.where(
-                act, tgt_w.astype(jnp.int32), stack[STACK_CAP - 1]
-            )
-            sp = sp + act.astype(jnp.int32)
 
         return (sp, live, visits + 1)
 
@@ -296,6 +323,8 @@ def _dfs_kernel(
 
 
 _INTERPRET = False
+#: debug: skip leaf jobs (timing/bisect only - wrong results)
+_SKIP_LEAF = False
 
 
 def trace_closest_packets(
@@ -344,29 +373,37 @@ def trace_closest_packets(
         payload = jnp.concatenate([payload, pad], axis=1)
 
     grid = N // C
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((8, C), lambda i, m: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bvh.node_dfs.shape, lambda i, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bvh.prim_groups.shape, lambda i, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, C), lambda i, m: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((4, C), jnp.float32),
+            pltpu.VMEM((3, C), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((1, 1, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SMEM((STACK_CAP,), jnp.int32),
+        ],
+    )
     out = pl.pallas_call(
         functools.partial(
             _dfs_kernel, width=W, do_kill=do_kill, kill_eps=kill_eps
         ),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((8, C), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(bvh.node_dfs.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(bvh.prim_groups.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((4, C), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, N), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((48, 128), jnp.float32),
-            pltpu.VMEM((3, C), jnp.float32),
-            pltpu.SMEM((STACK_CAP,), jnp.int32),
-        ],
         interpret=_INTERPRET,
-    )(payload, bvh.node_dfs, bvh.prim_groups)
+    )(bvh.node_meta, payload, bvh.node_dfs, bvh.prim_groups)
 
     t = out[0, :N_in]
     prim = out[1, :N_in].astype(jnp.int32)

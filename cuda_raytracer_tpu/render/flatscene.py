@@ -97,17 +97,23 @@ class FlatBVH:
     #: child-order invariant of BVHSubTree::compress
     #: (reference src/bvh.cpp:234-273).
     wf_sched: Tuple = struct.field(pytree_node=False, default=())
-    #: packed per-node row for the packet-DFS traversal
-    #: (ops/pallas/packet_dfs.py), all f32: [cmin W*3, cmax W*3,
-    #: child kind (0 none / 1 inner / 2 leaf), child target (inner:
-    #: node id; leaf: prim-group row = leaf_start//8), child leaf
-    #: count, child leaf lane offset (leaf_start%8)] = 10W cols,
-    #: zero-padded to 128
-    node_dfs: jnp.ndarray = None  # [N, 128] f32
-    #: prim-group table for the packet-DFS leaf stage: row g packs
-    #: prims 8g..8g+7 as 16 f32 fields each (v0.xyz, v1.xyz, v2.xyz,
-    #: type, pad...) so one [1,128] row reshapes to [8,16] in-kernel
+    #: packet-DFS node blocks (ops/pallas/packet_dfs.py): one 128-col
+    #: row per child slot, 8 per node, in the kernel's own BFS node
+    #: numbering; cols [mnx mny mnz mxx mxy mxz].  Child slots list the
+    #: node's inner children first (ids inner_base..inner_base+k-1 per
+    #: node_meta), then its leaf children; dead slots carry inverted
+    #: boxes so the slab test always misses them.
+    node_dfs: jnp.ndarray = None  # [8*Nd, 128] f32
+    #: packet-DFS prim-group table: 8 prims per row, 16 f32 fields each
+    #: [v0.xyz v1.xyz v2.xyz type orig_id pad...], ordered by per-node
+    #: leaf run (all direct leaf-child prims of one node contiguous,
+    #: runs 8-aligned); orig_id maps to the BVH-sorted prim arrays
     prim_groups: jnp.ndarray = None  # [G, 128] f32
+    #: packet-DFS per-node scalars, flattened [Nd, 4] i32 -> [4*Nd]:
+    #: [inner_base, inner_count, leaf_grp0, leaf_count]; lives in SMEM
+    #: via scalar prefetch so the kernel's control flow never touches
+    #: vector registers
+    node_meta: jnp.ndarray = None  # [4*Nd] i32
 
     @property
     def num_levels(self) -> int:
@@ -467,61 +473,114 @@ def flatten_scene(
             [node_packed, np.zeros((len(node_packed), pad_cols), np.float32)],
             axis=1,
         )
-    # --- packet-DFS node rows (ops/pallas/packet_dfs.py) ---
-    # [cmin 3W][cmax 3W][kind W][target W][lcnt W][loff W] = 10W f32
+    # --- packet-DFS tables (ops/pallas/packet_dfs.py) ---
+    # The DFS kernel uses its own node numbering (BFS order, so the
+    # inner children of any node are consecutive) and its own prim
+    # ordering (each node's direct leaf-child prims form one contiguous
+    # "leaf run", so a visit does at most ONE leaf job).  Three tables:
+    #
+    # * node_dfs [8*Nd, 128] f32: one row per child slot, 8 per node,
+    #   cols [mnx mny mnz mxx mxy mxz] (dead slots get inverted boxes).
+    #   Child w of dfs-node n is row 8n+w; children are ordered inner
+    #   children first (matching the BFS numbering), then leaf children.
+    # * node_meta [4*Nd] i32 (SMEM scalar-prefetch): per node
+    #   [inner_base, inner_count, leaf_grp0, leaf_count] — inner child
+    #   ids are inner_base..inner_base+inner_count-1; the leaf run is
+    #   leaf_count prims starting at prim-group row leaf_grp0 (8-prim
+    #   groups, run start always 8-aligned by construction).
+    # * prim_groups [G, 128] f32: 8 prims per row, 16 fields each:
+    #   [v0.xyz v1.xyz v2.xyz type orig_id pad...] in leaf-run order;
+    #   orig_id maps back to the BVH-sorted prim arrays.
     n_nodes = len(flat.outlets)
-    okind = np.zeros((n_nodes, w), np.float32)
-    otarget = np.zeros((n_nodes, w), np.float32)
-    olcnt = np.zeros((n_nodes, w), np.float32)
-    oloff = np.zeros((n_nodes, w), np.float32)
-    ch = flat.outlets
-    chc = np.clip(ch, 0, n_nodes - 1)
-    ch_leaf = (flat.leaf_range[chc] > 0) & (ch >= 0)
-    ch_inner = (flat.leaf_range[chc] == 0) & (ch >= 0)
-    okind[ch_leaf] = 2.0
-    okind[ch_inner] = 1.0
-    ls = flat.leaf_start[chc]
-    lr = flat.leaf_range[chc]
-    otarget[ch_inner] = chc[ch_inner]
-    otarget[ch_leaf] = ls[ch_leaf] // 8  # prim-group row
-    olcnt[ch_leaf] = lr[ch_leaf]
-    oloff[ch_leaf] = ls[ch_leaf] % 8
-    node_dfs = np.concatenate(
-        [
-            flat.child_min.reshape(-1, 3 * w),
-            flat.child_max.reshape(-1, 3 * w),
-            okind, otarget, olcnt, oloff,
-        ],
-        axis=1,
-    ).astype(np.float32)
-    node_dfs = np.concatenate(
-        [node_dfs,
-         np.zeros((n_nodes, 128 - node_dfs.shape[1]), np.float32)],
-        axis=1,
-    )
-    if flat.leaf_range[0] > 0:
-        # root is itself a leaf: synthesize one leaf child covering it
-        node_dfs[0] = 0.0
-        node_dfs[0, 0:3] = -3e30
-        node_dfs[0, 3 * w : 3 * w + 3] = 3e30
-        node_dfs[0, 6 * w] = 2.0
-        node_dfs[0, 7 * w] = flat.leaf_start[0] // 8
-        node_dfs[0, 8 * w] = flat.leaf_range[0]
-        node_dfs[0, 9 * w] = flat.leaf_start[0] % 8
+    outl = flat.outlets
+    lr_all = flat.leaf_range
+    ls_all = flat.leaf_start
 
-    # prim-group rows: 8 prims x 16 fields (v0, v1, v2, type), padded
-    # so group rows never overrun and degenerate pad prims never hit
-    # +5 pad groups: an unaligned max-size leaf near the table end reads
-    # up to ceil((7 + max_leaf)/8) rows past its start
-    G = (P + 7) // 8 + 5
-    pg = np.zeros((G * 8, 16))
-    pg[:P, 0:3] = v0[order]
-    pg[:P, 3:6] = v1[order]
-    pg[:P, 6:9] = v2[order]
-    pg[:P, 9] = ptype[order]
-    prim_groups = np.concatenate(
-        [pg.reshape(G, 128), np.zeros((G, 0))], axis=1
-    ).astype(np.float32)
+    if lr_all[0] > 0:
+        bfs_order = [0]
+        is_root_leaf_dfs = True
+    else:
+        is_root_leaf_dfs = False
+        bfs_order = []
+        from collections import deque
+
+        dq = deque([0])
+        while dq:
+            nn = dq.popleft()
+            bfs_order.append(nn)
+            for wch in range(w):
+                o_ = outl[nn, wch]
+                if o_ >= 0 and lr_all[o_] == 0:
+                    dq.append(int(o_))
+    Nd = len(bfs_order)
+    new_id = {nn: i for i, nn in enumerate(bfs_order)}
+
+    blk = np.zeros((Nd, 8, 128), np.float32)
+    blk[:, :, 0:3] = 1e30  # dead slots: inverted boxes always miss
+    blk[:, :, 3:6] = -1e30
+    meta = np.zeros((Nd, 4), np.int64)
+    leaf_runs: List[Tuple[int, int, int]] = []  # (node, slot, prim info)
+    pg_rows: List[np.ndarray] = []
+    ptype_o = ptype[order]
+    v0o, v1o, v2o = v0[order], v1[order], v2[order]
+
+    def emit_leaf_child(prim_lo, prim_cnt):
+        """Append one leaf child's prims as 8-aligned groups; returns
+        (grp0, ngroups)."""
+        grp0 = len(pg_rows)
+        ids = np.arange(prim_lo, prim_lo + prim_cnt)
+        for gs in range(0, prim_cnt, 8):
+            rows = np.zeros((8, 16))
+            rows[:, 9] = -1.0  # pad prims: degenerate, never hit
+            sel = ids[gs : gs + 8]
+            k = len(sel)
+            rows[:k, 0:3] = v0o[sel]
+            rows[:k, 3:6] = v1o[sel]
+            rows[:k, 6:9] = v2o[sel]
+            rows[:k, 9] = ptype_o[sel]
+            rows[:k, 10] = sel
+            pg_rows.append(rows.reshape(128))
+        return grp0, (prim_cnt + 7) // 8
+
+    for i, nn in enumerate(bfs_order):
+        if is_root_leaf_dfs:
+            inner_ch: List[int] = []
+            slots = [(((-3e30,) * 3, (3e30,) * 3),
+                      emit_leaf_child(int(ls_all[0]), int(lr_all[0])))]
+        else:
+            inner_ch = []
+            inner_boxes = []
+            leaf_slots = []
+            for wch in range(w):
+                o_ = outl[nn, wch]
+                if o_ < 0:
+                    continue
+                box = (flat.child_min[nn, wch], flat.child_max[nn, wch])
+                if lr_all[o_] == 0:
+                    inner_ch.append(int(o_))
+                    inner_boxes.append(box)
+                else:
+                    leaf_slots.append(
+                        (box, emit_leaf_child(int(ls_all[o_]),
+                                              int(lr_all[o_])))
+                    )
+            slots = [(b, None) for b in inner_boxes] + leaf_slots
+        for k, entry in enumerate(slots):
+            box, leafinfo = entry
+            bmin, bmax = box
+            blk[i, k, 0:3] = bmin
+            blk[i, k, 3:6] = bmax
+            if leafinfo is not None:
+                blk[i, k, 6] = leafinfo[0]  # grp0
+                blk[i, k, 7] = leafinfo[1]  # ngroups
+        meta[i, 0] = new_id[inner_ch[0]] if inner_ch else 0
+        meta[i, 1] = len(inner_ch)
+    node_dfs = blk.reshape(Nd * 8, 128)
+    node_meta = meta.reshape(-1).astype(np.int32)
+    if not pg_rows:
+        pg_rows.append(np.zeros(128))
+    pg_rows.append(np.zeros(128))  # guard row
+    prim_groups = np.stack(pg_rows).astype(np.float32)
 
     flat_bvh = FlatBVH(
         outlets=i32(flat.outlets),
@@ -532,6 +591,7 @@ def flatten_scene(
         node_packed=f32(node_packed),
         node_dfs=f32(node_dfs),
         prim_groups=f32(prim_groups),
+        node_meta=i32(node_meta),
         levels=tuple(tuple(int(i) for i in lv) for lv in flat.levels),
         level_child_valid=level_child_valid,
         level_is_leaf=level_is_leaf,

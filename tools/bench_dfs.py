@@ -38,7 +38,8 @@ def main():
     N = o.shape[0]
     print(f"N = {N}")
 
-    f = jax.jit(lambda o, d, v: trace_closest_packets(s, o, d, v))
+    f0 = jax.jit(lambda s, o, d, v: trace_closest_packets(s, o, d, v))
+    f = lambda o, d, v: f0(s, o, d, v)
     t0 = time.perf_counter()
     res = f(o, d, valid)
     jax.block_until_ready(res.t)
@@ -59,7 +60,8 @@ def main():
                            dtype=jnp.float32)
     o_s, d_s, max_t, li, ok = S.nee_shadow_rays(
         s, hit, jnp.ones_like(o), 0, u, 1.0)
-    fs = jax.jit(lambda o, d, v, tl: trace_closest_packets(s, o, d, v, tl))
+    fs0 = jax.jit(lambda s, o, d, v, tl: trace_closest_packets(s, o, d, v, tl))
+    fs = lambda o, d, v, tl: fs0(s, o, d, v, tl)
     rs = fs(o_s, d_s, ok, max_t)
     jax.block_until_ready(rs.t)
     t0 = time.perf_counter()
