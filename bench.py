@@ -20,7 +20,10 @@ BASELINE_MRAYS = 100.0
 
 SCENE = "/root/reference/media/pathtracer/advanced/CBbunny.dae"
 WIDTH, HEIGHT, TOTAL_SPP = 800, 600, 64
-SPP_PER_PASS = 2
+#: 16 spp per pass: with 8x8-tile sample order every 1024-ray traversal
+#: packet covers one image tile, which shrinks the packet-DFS union
+#: working set 3-6x (tools/sim_spp.py) and amortizes per-dispatch cost
+SPP_PER_PASS = 16
 
 
 def main():
@@ -35,6 +38,10 @@ def main():
         total_samples=TOTAL_SPP,
         max_depth=4,
         nee_schedule=((1, 1.0), (1, 1.0), (1, 1.0), (1, 1.0)),
+        tree_width=8,
+        max_leaf_size=16,
+        sample_order="tiles8",
+        rr_start_depth=2,
     )
     r = WavefrontRenderer(cfg, camera_mode="collada")
     if os.path.exists(SCENE):

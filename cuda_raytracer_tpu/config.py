@@ -36,10 +36,21 @@ class RenderConfig:
     #: rays (reference queueSize = numRays*TREE_WIDTH*4, cudaRenderer.cu:1920;
     #: 2 is ample in practice — overflows are counted and reported).
     queue_multiplier: int = 4
-    #: traversal backend: "auto" = fused Pallas wavefront kernels on
-    #: TPU, XLA scan elsewhere; "pallas" / "pallas1" (round-1 kernels,
-    #: kept for comparison benches) / "xla" force one.
+    #: traversal backend: "auto" = packet-DFS Pallas kernel on TPU, XLA
+    #: scan elsewhere; "dfs" / "pallas" (wavefront2 segment kernels) /
+    #: "pallas1" (round-1 kernels; comparison benches) / "xla" force one.
     traversal: str = "auto"
+    #: sample order for camera rays: "raster" = pixel-major rows (the
+    #: reference's (x*H+y)*spp+s layout), "tiles8" = 8x8-pixel tiles
+    #: with a pixel's samples consecutive.  Tiles make each 1024-ray
+    #: traversal packet cover one image tile, which shrinks the
+    #: packet-union working set 3-6x at 16 spp (tools/sim_spp.py).
+    sample_order: str = "raster"
+    #: fuse the whole frame into one jit executable: "auto" = yes on
+    #: TPU (each separate dispatch through the runtime costs ~10-30 ms;
+    #: a frame makes 30+), no elsewhere (per-stage jits compile much
+    #: faster and CPU dispatch is cheap).
+    fuse_frame: str = "auto"
 
     # ---- path schedule ----
     #: number of path vertices (camera hit = depth 1). The reference hard
@@ -53,6 +64,11 @@ class RenderConfig:
     #: sample folded to the upper hemisphere, samplers.cu_inl:11-30) or
     #: "cosine" importance sampling (lower variance, same expectation).
     hemisphere_sampling: str = "uniform"
+    #: Russian roulette: scatter rays entering depth >= this survive
+    #: with p = max(importance) (importance /= p) and die otherwise —
+    #: unbiased, and dead lanes collapse bounce-packet unions.  0 = off
+    #: (the reference never terminates early).
+    rr_start_depth: int = 0
 
     # ---- film / post ----
     #: apply the 3x3 per-channel median filter while accumulated samples
@@ -90,10 +106,15 @@ class RenderConfig:
                 "hemisphere_sampling must be 'uniform' or 'cosine', got "
                 f"{self.hemisphere_sampling!r}"
             )
-        if self.traversal not in ("auto", "pallas", "pallas1", "xla"):
+        if self.traversal not in ("auto", "dfs", "pallas", "pallas1",
+                                  "xla"):
             raise ValueError(f"unknown traversal {self.traversal!r}")
         if self.shard_mode not in ("samples", "tiles"):
             raise ValueError(f"unknown shard_mode {self.shard_mode!r}")
+        if self.sample_order not in ("raster", "tiles8"):
+            raise ValueError(f"unknown sample_order {self.sample_order!r}")
+        if self.fuse_frame not in ("auto", "yes", "no"):
+            raise ValueError(f"unknown fuse_frame {self.fuse_frame!r}")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

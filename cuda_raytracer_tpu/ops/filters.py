@@ -10,15 +10,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def reconstruct(sample_light: jnp.ndarray, width: int, height: int, spp: int):
+def reconstruct(sample_light: jnp.ndarray, width: int, height: int, spp: int,
+                inv_order=None):
     """Box-filter the per-sample radiance into an image
     (kernelReconstructImage, src/cudaRenderer.cu:705-718).
 
-    sample_light: [W*H*spp, 3] laid out pixel-major (ray i -> pixel
-    i // spp).  Returns [H, W, 3].
+    sample_light: [W*H*spp, 3] with each pixel's spp samples
+    consecutive.  With the default raster order, sample slot p covers
+    pixel p; with a swizzled sample order pass ``inv_order`` ([H*W]
+    i32, inv_order[pixel] = slot) to un-swizzle.  Returns [H, W, 3].
     """
-    img = sample_light.reshape(height, width, spp, 3).mean(axis=2)
-    return img
+    means = sample_light.reshape(-1, spp, 3).mean(axis=1)
+    if inv_order is not None:
+        means = means[inv_order]
+    return means.reshape(height, width, 3)
 
 
 def accumulate(final_img, new_img, old_weight, new_weight):

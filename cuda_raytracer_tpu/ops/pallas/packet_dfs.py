@@ -80,7 +80,7 @@ def _dfs_kernel(
     nodes_ref,  # [8*Nd, 128] node child rows (VMEM resident)
     prims_ref,  # [G, 128] prim-group rows (VMEM resident)
     out_ref,  # [4, C] block: t, prim, visits, pad
-    aux,  # [4, C] scratch: inv_d rows
+    aux,  # [5, C] scratch: inv_d rows + per-leaf-job best t/prim
     state,  # [3, C] scratch: tub row, prim row, best-t row
     nblk,  # [8, 128] scratch: current node block
     pblk,  # [1, 1, 128] scratch: current prim-group row
@@ -161,12 +161,11 @@ def _dfs_kernel(
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.maximum(t0z, t1z),
         )
-        inside = (
-            (o_x >= mnx) & (o_x <= mxx)
-            & (o_y >= mny) & (o_y <= mxy)
-            & (o_z >= mnz) & (o_z <= mxz)
-        )
-        m = (((tn <= tf) & (tf >= 0.0) & (tn <= tub)) | inside) & alive
+        # No separate origin-inside test: inside origins give tn < 0 <=
+        # tf, which already passes (tn <= tf) & (tf >= 0) & (tn <= tub).
+        # (The reference's explicit check, cu:189-198, exists to return
+        # entry t = 0; the union mask only needs the hit/miss bit.)
+        m = (tn <= tf) & (tf >= 0.0) & (tn <= tub) & alive
         # ONE vector->scalar crossing: the child-hit bitmask
         anyv = jnp.max(jnp.where(m, 1.0, 0.0), axis=1, keepdims=True)
         mask = jnp.sum(anyv * w2).astype(jnp.int32)
@@ -196,6 +195,10 @@ def _dfs_kernel(
             def _(w=w, blk=blk):
                 grp0 = blk[w, 6].astype(jnp.int32)
                 ngroups = blk[w, 7].astype(jnp.int32)
+                # per-job running best in aux rows 3/4; merged into the
+                # global state once per leaf job, not once per group
+                aux[3:4, :] = jnp.full((1, C), T_NO_LIMIT, jnp.float32)
+                aux[4:5, :] = jnp.full((1, C), -1.0, jnp.float32)
 
                 def group_body(g, _):
                     gcp = pltpu.make_async_copy(
@@ -222,37 +225,29 @@ def _dfs_kernel(
                     v2x, v2y, v2z = pb[:, 6:7], pb[:, 7:8], pb[:, 8:9]
                     ptype = pb[:, 9:10]
                     pids = pb[:, 10:11]
-                    # triangle plane + half-plane tests
-                    # (intersectRayTriangle, cu:217-270)
+                    # Moller-Trumbore (same hits as the reference's
+                    # plane + half-plane test, cu:217-270, to rounding)
                     e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
                     e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
-                    nx = e1y * e2z - e1z * e2y
-                    ny = e1z * e2x - e1x * e2z
-                    nz = e1x * e2y - e1y * e2x
-                    denom = nx * d_x + ny * d_y + nz * d_z
-                    parallel = jnp.abs(denom) < 1e-6
-                    dplane = nx * v0x + ny * v0y + nz * v0z
-                    t_tri = (
-                        dplane - (nx * o_x + ny * o_y + nz * o_z)
-                    ) / jnp.where(parallel, 1.0, denom)
-                    px = o_x + t_tri * d_x
-                    py = o_y + t_tri * d_y
-                    pz = o_z + t_tri * d_z
-
-                    def edge_ok(ax, ay, az, bx, by, bz):
-                        ex, ey, ez = bx - ax, by - ay, bz - az
-                        wx, wy, wz = px - ax, py - ay, pz - az
-                        cx = ey * wz - ez * wy
-                        cy = ez * wx - ex * wz
-                        cz = ex * wy - ey * wx
-                        return nx * cx + ny * cy + nz * cz >= 0.0
-
-                    inside_tri = (
-                        edge_ok(v0x, v0y, v0z, v1x, v1y, v1z)
-                        & edge_ok(v1x, v1y, v1z, v2x, v2y, v2z)
-                        & edge_ok(v2x, v2y, v2z, v0x, v0y, v0z)
+                    px_ = d_y * e2z - d_z * e2y
+                    py_ = d_z * e2x - d_x * e2z
+                    pz_ = d_x * e2y - d_y * e2x
+                    det = e1x * px_ + e1y * py_ + e1z * pz_
+                    inv = 1.0 / jnp.where(
+                        jnp.abs(det) < 1e-12, 1.0, det
                     )
-                    ok_tri = (~parallel) & inside_tri & (t_tri >= 0.0)
+                    tx, ty, tz = o_x - v0x, o_y - v0y, o_z - v0z
+                    u_b = (tx * px_ + ty * py_ + tz * pz_) * inv
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    v_b = (d_x * qx + d_y * qy + d_z * qz) * inv
+                    t_tri = (e2x * qx + e2y * qy + e2z * qz) * inv
+                    ok_tri = (
+                        (jnp.abs(det) >= 1e-12)
+                        & (u_b >= 0.0) & (v_b >= 0.0)
+                        & (u_b + v_b <= 1.0) & (t_tri >= 0.0)
+                    )
                     # sphere (center v0, radius v1.x)
                     radius = v1x
                     ocx, ocy, ocz = o_x - v0x, o_y - v0y, o_z - v0z
@@ -269,8 +264,7 @@ def _dfs_kernel(
                     ok_sph = (disc >= 0) & (t_sph > 0)
 
                     is_sph = ptype > 0.5
-                    # pad prims carry type -1: not sphere, and their
-                    # zero triangles are degenerate (parallel) => miss
+                    # pad prims carry type -1: degenerate, never hit
                     okm = (
                         (is_sph & ok_sph)
                         | ((ptype > -0.5) & (~is_sph) & ok_tri)
@@ -285,19 +279,23 @@ def _dfs_kernel(
                         axis=0,
                         keepdims=True,
                     )
-                    tub_row = state[0:1, :]
-                    better = tbest < tub_row
-                    state[1:2, :] = jnp.where(
-                        better, prim, state[1:2, :]
-                    )
-                    state[2:3, :] = jnp.where(
-                        better, tbest, state[2:3, :]
-                    )
-                    state[0:1, :] = jnp.where(better, tbest, tub_row)
+                    job_t = aux[3:4, :]
+                    better = tbest < job_t
+                    aux[4:5, :] = jnp.where(better, prim, aux[4:5, :])
+                    aux[3:4, :] = jnp.where(better, tbest, job_t)
                     return 0
 
                 jax.lax.fori_loop(0, ngroups, group_body, 0)
 
+                tub_row = state[0:1, :]
+                better = aux[3:4, :] < tub_row
+                state[1:2, :] = jnp.where(
+                    better, aux[4:5, :], state[1:2, :]
+                )
+                state[2:3, :] = jnp.where(
+                    better, aux[3:4, :], state[2:3, :]
+                )
+                state[0:1, :] = jnp.where(better, aux[3:4, :], tub_row)
                 if do_kill:
                     killed = (state[1:2, :] >= 0.0) & (
                         state[2:3, :] < tub0 - kill_eps
@@ -387,7 +385,7 @@ def trace_closest_packets(
         out_specs=pl.BlockSpec((4, C), lambda i, m: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, C), jnp.float32),
+            pltpu.VMEM((5, C), jnp.float32),
             pltpu.VMEM((3, C), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.VMEM((1, 1, 128), jnp.float32),

@@ -69,17 +69,23 @@ def generate_camera_rays(
     cam_c2w,
     tan_half_h: float,
     tan_half_v: float,
+    pix_order=None,
 ):
     """Jittered pinhole camera rays.
 
     Sample layout: ray i covers pixel p = i // spp (row-major, row 0 at
     the image top), sample s = i % spp — the analog of the reference's
     ``(x*H + y)*spp + s`` queue-0 layout (src/cudaRenderer.cu:330).
-    Returns (o, d) [N, 3] float32.
+    With ``pix_order`` ([W*H] i32), slot p instead covers pixel
+    pix_order[p] — used for tile-swizzled sample order (cfg
+    sample_order="tiles8") so traversal packets cover compact image
+    tiles.  Returns (o, d) [N, 3] float32.
     """
     n = width * height * spp
     i = jnp.arange(n, dtype=jnp.int32)
     pix = i // spp
+    if pix_order is not None:
+        pix = pix_order[pix]
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
     u = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
@@ -102,6 +108,7 @@ def generate_camera_rays_cutracer(
     look_at,
     up,
     left,
+    pix_order=None,
 ):
     """Reference-compat camera rays: the fixed +-0.5 frustum of
     kernelPrimaryRays (src/cudaRenderer.cu:334-349) over the cutracer
@@ -110,6 +117,8 @@ def generate_camera_rays_cutracer(
     n = width * height * spp
     i = jnp.arange(n, dtype=jnp.int32)
     pix = i // spp
+    if pix_order is not None:
+        pix = pix_order[pix]
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
     u = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
@@ -172,10 +181,15 @@ def compute_hits(scene: FlatScene, o, d, t, prim, origin_eps: float = 1e-3) -> H
     t_s = jnp.where(valid, t, 1.0)
     pt_raw = o + t_s[:, None] * d
 
-    v0 = scene.v0[pidx]
-    v1 = scene.v1[pidx]
-    v2 = scene.v2[pidx]
-    is_sphere = scene.prim_type[pidx] == PRIM_SPHERE
+    # ONE wide-row gather for all per-prim shading data: narrow
+    # per-field gathers each cost ~a full pass on TPU
+    row = scene.shade_packed[pidx]
+    v0 = row[:, 0:3]
+    v1 = row[:, 3:6]
+    v2 = row[:, 6:9]
+    is_sphere = row[:, 9] > 0.5
+    n0_, n1_, n2_ = row[:, 10:13], row[:, 13:16], row[:, 16:19]
+    bsdf_idx = row[:, 19].astype(jnp.int32)
 
     # triangle: barycentric vertex-normal interpolation
     # (src/cudaRenderer.cu:1216-1224)
@@ -185,9 +199,7 @@ def compute_hits(scene: FlatScene, o, d, t, prim, origin_eps: float = 1e-3) -> H
     bA = jnp.linalg.norm(jnp.cross(v1 - pt_raw, v2 - pt_raw), axis=-1) / total
     bB = jnp.linalg.norm(jnp.cross(v2 - pt_raw, v0 - pt_raw), axis=-1) / total
     n_tri = _norm(
-        bA[:, None] * scene.n0[pidx]
-        + bB[:, None] * scene.n1[pidx]
-        + bC[:, None] * scene.n2[pidx]
+        bA[:, None] * n0_ + bB[:, None] * n1_ + bC[:, None] * n2_
     )
 
     # sphere: geometric normal
@@ -215,7 +227,7 @@ def compute_hits(scene: FlatScene, o, d, t, prim, origin_eps: float = 1e-3) -> H
         dpdu=dpdu,
         dpdv=dpdv,
         wo_local=wo_local,
-        bsdf=scene.prim_bsdf[pidx],
+        bsdf=bsdf_idx,
         t=jnp.where(valid, t, INF),
         backface=backface,
     )

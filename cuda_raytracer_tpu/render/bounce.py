@@ -27,16 +27,27 @@ from ..render.flatscene import FlatScene
 def make_trace_fn(cfg: RenderConfig):
     """Traversal backend selected by cfg.traversal:
 
+    * ``dfs``     — packet-DFS Pallas kernel (fastest; the default on
+      TPU)
     * ``pallas``  — fused segment-major Pallas kernels (wavefront2)
     * ``pallas1`` — the round-1 kernels (kept for comparison benches)
     * ``xla``     — pure-XLA scan traversal
-    * ``auto``    — pallas on TPU, xla elsewhere
+    * ``auto``    — dfs on TPU, xla elsewhere
     """
     kind = cfg.traversal
     if kind == "auto":
-        kind = "pallas" if jax.default_backend() == "tpu" else "xla"
+        kind = "dfs" if jax.default_backend() == "tpu" else "xla"
 
-    if kind == "pallas":
+    if kind == "dfs":
+        from ..ops.pallas.packet_dfs import trace_closest_packets
+
+        def trace(scene, o, d, valid, t_limit=None):
+            tl = None if cfg.reference_compat else t_limit
+            return trace_closest_packets(
+                scene, o, d, valid, tl, kill_eps=cfg.shadow_eps,
+            )
+
+    elif kind == "pallas":
         from ..ops.pallas.wavefront2 import trace_closest_wavefront
 
         def trace(scene, o, d, valid, t_limit=None):
@@ -111,6 +122,34 @@ def make_stage_fns(cfg: RenderConfig):
     }
 
 
+def _secondary_sort_key(o, d, valid):
+    """u32 sort key for secondary rays: dead rays last, live rays by
+    direction octant then Morton cell of the origin.  Unused in the
+    frame loop for now: on TPU v5e an XLA argsort of 7.7M keys costs
+    0.5 s and each [N,3] gather 150 ms, which outweighs the ~30%
+    packet-union shrink it buys.  Kept for a future in-kernel
+    (DMA-based) reorder."""
+    lo = jnp.min(jnp.where(valid[:, None], o, 1e30), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], o, -1e30), axis=0)
+    q = jnp.clip(
+        ((o - lo) / jnp.maximum(hi - lo, 1e-6) * 32).astype(jnp.int32),
+        0, 31,
+    )
+    morton = jnp.zeros(o.shape[0], jnp.int32)
+    for b in range(5):
+        for a in range(3):
+            morton = morton | (
+                ((q[:, a] >> b) & 1) << (3 * b + a)
+            )
+    octant = (
+        (d[:, 0] > 0).astype(jnp.int32) * 4
+        + (d[:, 1] > 0).astype(jnp.int32) * 2
+        + (d[:, 2] > 0).astype(jnp.int32)
+    )
+    key = octant * (1 << 15) + morton
+    return jnp.where(valid, key, 1 << 24)
+
+
 def run_bounce_loop(J, cfg: RenderConfig, scene: FlatScene, o, d, key,
                     valid=None):
     """Trace and shade the given camera/primary rays through the full
@@ -120,6 +159,7 @@ def run_bounce_loop(J, cfg: RenderConfig, scene: FlatScene, o, d, key,
     jitted).  NEE RNG streams are derived by nested fold_in over
     (depth, sample, light) so they never alias regardless of the light
     count or NEE sample count.
+
     """
     n = o.shape[0]
     if valid is None:
@@ -129,33 +169,57 @@ def run_bounce_loop(J, cfg: RenderConfig, scene: FlatScene, o, d, key,
     count_emission = jnp.ones((n,), dtype=bool)
     dropped = jnp.int32(0)
 
-    schedule = list(cfg.nee_schedule)
+    carry = (o, d, valid, importance, light, count_emission, dropped)
     for depth in range(cfg.max_depth):
-        res = J["trace"](scene, o, d, valid)
-        dropped = dropped + res.dropped
-        hit, light = J["shade_hit"](
-            scene, o, d, res.t, res.prim, valid, importance, light,
-            count_emission,
-        )
-        num_nee, weight = (
-            schedule[depth] if depth < len(schedule) else (0, 0.0)
-        )
-        k_d = jax.random.fold_in(key, 1000 + depth)
-        for s in range(num_nee):
-            k_s = jax.random.fold_in(k_d, s)
-            for li in range(scene.num_lights):
-                k_u = jax.random.fold_in(k_s, li)
-                o_s, d_s, max_t, li_imp, ok = J["nee_prep"](
-                    scene, hit, importance, k_u, li, float(weight)
-                )
-                res_s = J["trace"](scene, o_s, d_s, ok, max_t)
-                dropped = dropped + res_s.dropped
-                light = J["nee_accum"](
-                    light, res_s.t, res_s.prim, max_t, li_imp, ok
-                )
-        if depth + 1 < cfg.max_depth:
-            k_b = jax.random.fold_in(key, 2000 + depth)
-            o, d, importance, valid, count_emission = J["scatter"](
-                scene, hit, importance, k_b
+        carry = run_depth(J, cfg, scene, carry, key, depth)
+    return carry[4], carry[6]
+
+
+def run_depth(J, cfg: RenderConfig, scene: FlatScene, carry, key, depth):
+    """One depth of the bounce loop: closest-hit trace, emission, NEE
+    shadow passes, and (below max depth) BSDF scatter + optional
+    Russian roulette.  ``carry`` is (o, d, valid, importance, light,
+    count_emission, dropped).  Separated out so the engine can compile
+    one executable per depth — a whole-frame program is long enough
+    that XLA's rematerializer spills 40x-padded [N,3] copies."""
+    (o, d, valid, importance, light, count_emission, dropped) = carry
+    schedule = list(cfg.nee_schedule)
+    res = J["trace"](scene, o, d, valid)
+    dropped = dropped + res.dropped
+    hit, light = J["shade_hit"](
+        scene, o, d, res.t, res.prim, valid, importance, light,
+        count_emission,
+    )
+    num_nee, weight = (
+        schedule[depth] if depth < len(schedule) else (0, 0.0)
+    )
+    k_d = jax.random.fold_in(key, 1000 + depth)
+    for s in range(num_nee):
+        k_s = jax.random.fold_in(k_d, s)
+        for li in range(scene.num_lights):
+            k_u = jax.random.fold_in(k_s, li)
+            o_s, d_s, max_t, li_imp, ok = J["nee_prep"](
+                scene, hit, importance, k_u, li, float(weight)
             )
-    return light, dropped
+            res_s = J["trace"](scene, o_s, d_s, ok, max_t)
+            dropped = dropped + res_s.dropped
+            light = J["nee_accum"](
+                light, res_s.t, res_s.prim, max_t, li_imp, ok
+            )
+    if depth + 1 < cfg.max_depth:
+        k_b = jax.random.fold_in(key, 2000 + depth)
+        o, d, importance, valid, count_emission = J["scatter"](
+            scene, hit, importance, k_b
+        )
+        if cfg.rr_start_depth and depth + 1 >= cfg.rr_start_depth:
+            # Russian roulette: survive with p = max(importance),
+            # reweight by 1/p (unbiased); dead lanes stop widening
+            # the traversal packet unions
+            p = jnp.clip(jnp.max(importance, axis=-1), 0.05, 1.0)
+            u_rr = jax.random.uniform(
+                jax.random.fold_in(key, 3000 + depth), p.shape
+            )
+            survive = u_rr < p
+            valid = valid & survive
+            importance = importance / p[:, None]
+    return (o, d, valid, importance, light, count_emission, dropped)

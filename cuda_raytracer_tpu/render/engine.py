@@ -24,6 +24,7 @@ that matters.
 
 from __future__ import annotations
 
+import functools
 import math
 import time
 from typing import Dict, Optional
@@ -133,13 +134,26 @@ class WavefrontRenderer:
     # generating one megakernel.
     def setup(self) -> None:
         cfg = self.config
+        if cfg.sample_order == "tiles8":
+            # tile-major sample order: slot p covers pixel pix_order[p]
+            t = 8
+            py, px = np.meshgrid(np.arange(cfg.height), np.arange(cfg.width),
+                                 indexing="ij")
+            rank = ((py // t) * (cfg.width // t) * t * t
+                    + (px // t) * t * t + (py % t) * t + (px % t))
+            rank = rank.reshape(-1)
+            self._pix_order = jnp.asarray(np.argsort(rank), jnp.int32)
+            self._inv_order = jnp.asarray(rank, jnp.int32)
+        else:
+            self._pix_order = None
+            self._inv_order = None
 
         def raygen(cam_arrays, key):
             if self.camera_mode == "cutracer":
                 return S.generate_camera_rays_cutracer(
                     jax.random.fold_in(key, 0),
                     cfg.width, cfg.height, cfg.samples_per_frame,
-                    *cam_arrays,
+                    *cam_arrays, pix_order=self._pix_order,
                 )
             pos, c2w = cam_arrays
             return S.generate_camera_rays(
@@ -148,30 +162,88 @@ class WavefrontRenderer:
                 pos, c2w,
                 math.tan(math.radians(self.camera.hFov) / 2),
                 math.tan(math.radians(self.camera.vFov) / 2),
+                pix_order=self._pix_order,
             )
 
-        def film(light, final_img, image_samples):
+        def film(light, final_img, image_samples, with_median=True):
             img = F.reconstruct(light, cfg.width, cfg.height,
-                                cfg.samples_per_frame)
+                                cfg.samples_per_frame,
+                                inv_order=self._inv_order)
             final = F.accumulate(
                 final_img, img,
                 image_samples.astype(jnp.float32),
                 jnp.float32(cfg.samples_per_frame),
             )
-            post = F.median_filter_3x3(final, cfg.reference_compat)
+            # the filter only ever feeds get_image below the threshold;
+            # skip its cost once accumulation passes it (with_median is
+            # static: one recompile at the crossing)
+            post = (F.median_filter_3x3(final, cfg.reference_compat)
+                    if with_median else final)
             return final, post
 
         stages = make_stage_fns(cfg)
-        self._jit = {
-            "raygen": jax.jit(raygen),
-            "trace": jax.jit(stages["trace"]),
-            "shade_hit": jax.jit(stages["shade_hit"]),
-            "nee_prep": jax.jit(stages["nee_prep"], static_argnums=(4, 5)),
-            "nee_accum": jax.jit(stages["nee_accum"]),
-            "scatter": jax.jit(stages["scatter"]),
-            "film": jax.jit(film),
-        }
-        self._render_jit = self._run_frame
+        fuse = cfg.fuse_frame == "yes" or (
+            cfg.fuse_frame == "auto" and jax.default_backend() == "tpu"
+        )
+        if fuse:
+            # one executable per DEPTH (plus raygen and film): each
+            # separate dispatch through the TPU runtime costs ~10-30 ms
+            # and a per-stage frame makes 30+, while a single whole-
+            # frame program is long enough that XLA's rematerializer
+            # spills 40x-padded [N,3] copies and blows HBM.  Per-depth
+            # programs are the sweet spot: ~6 dispatches, short live
+            # ranges.
+            from .bounce import run_depth
+
+            def raygen_frame(cam_arrays, key):
+                o, d = raygen(cam_arrays, key)
+                n = o.shape[0]
+                return (
+                    o, d,
+                    jnp.ones((n,), bool),
+                    jnp.ones((n, 3), jnp.float32),
+                    jnp.zeros((n, 3), jnp.float32),
+                    jnp.ones((n,), bool),
+                    jnp.int32(0),
+                )
+
+            raygen_jit = jax.jit(raygen_frame)
+            depth_jits = [
+                jax.jit(
+                    functools.partial(
+                        run_depth, stages, cfg, depth=depth
+                    )
+                )
+                for depth in range(cfg.max_depth)
+            ]
+            film_jit = jax.jit(film, static_argnums=(3,))
+
+            def run(scene, cam_arrays, key, final_img, image_samples):
+                carry = raygen_jit(cam_arrays, key)
+                for dj in depth_jits:
+                    carry = dj(scene, carry, key)
+                with_median = (
+                    int(image_samples) < cfg.post_process_threshold
+                )
+                final, post = film_jit(
+                    carry[4], final_img, jnp.int32(image_samples),
+                    with_median,
+                )
+                return final, post, carry[6]
+
+            self._render_jit = run
+        else:
+            self._jit = {
+                "raygen": jax.jit(raygen),
+                "trace": jax.jit(stages["trace"]),
+                "shade_hit": jax.jit(stages["shade_hit"]),
+                "nee_prep": jax.jit(stages["nee_prep"],
+                                    static_argnums=(4, 5)),
+                "nee_accum": jax.jit(stages["nee_accum"]),
+                "scatter": jax.jit(stages["scatter"]),
+                "film": jax.jit(film, static_argnums=(3,)),
+            }
+            self._render_jit = self._run_frame
         self._accum_jit = True
 
     def _run_frame(self, scene, cam_arrays, key, final_img, image_samples):
@@ -183,7 +255,9 @@ class WavefrontRenderer:
         light, dropped = run_bounce_loop(
             J, self.config, scene, o, d, key
         )
-        final, post = J["film"](light, final_img, image_samples)
+        with_median = int(image_samples) < self.config.post_process_threshold
+        final, post = J["film"](light, final_img, image_samples,
+                                with_median)
         return final, post, dropped
 
     def _reset_accumulation(self) -> None:

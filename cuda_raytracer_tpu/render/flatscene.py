@@ -154,6 +154,11 @@ class FlatScene:
     #: gather hits XLA's fast gather emitter; narrow per-field gathers
     #: fused into loop fusions serialize on TPU.
     prim_packed: jnp.ndarray  # [P, 16] f32
+    #: packed per-primitive SHADING row: [v0.xyz v1.xyz v2.xyz type
+    #: n0.xyz n1.xyz n2.xyz bsdf pad...] (32 f32) — compute_hits does
+    #: one wide-row gather instead of eight narrow ones (XLA TPU
+    #: gathers cost ~the row count regardless of width)
+    shade_packed: jnp.ndarray  # [P, 32] f32
 
     bvh: FlatBVH
 
@@ -612,6 +617,16 @@ def flatten_scene(
     prim_packed[:P, 6:9] = v2[order]
     prim_packed[:P, 9] = ptype[order]
 
+    shade_packed = np.zeros((P, 32))
+    shade_packed[:, 0:3] = v0[order]
+    shade_packed[:, 3:6] = v1[order]
+    shade_packed[:, 6:9] = v2[order]
+    shade_packed[:, 9] = ptype[order]
+    shade_packed[:, 10:13] = n0[order]
+    shade_packed[:, 13:16] = n1[order]
+    shade_packed[:, 16:19] = n2[order]
+    shade_packed[:, 19] = pbsdf[order]
+
     fscene = FlatScene(
         prim_type=i32(ptype[order]),
         v0=f32(v0[order]),
@@ -622,6 +637,7 @@ def flatten_scene(
         n2=f32(n2[order]),
         prim_bsdf=i32(pbsdf[order]),
         prim_packed=f32(prim_packed),
+        shade_packed=f32(shade_packed),
         bsdf_fn=i32(bfn),
         bsdf_albedo=f32(balbedo),
         bsdf_radiance=f32(brad),

@@ -120,6 +120,62 @@ class Mesh(SceneObject):
     def get_bbox(self):
         return self.mesh.bbox()
 
+    # -- wave simulation (forward_euler / symplectic_euler stubs at
+    # src/dynamic_scene/mesh.cpp:48-66) ---------------------------------
+    def _wave_state(self):
+        n = len(self.mesh.vertices)
+        if getattr(self, "_wave_off", None) is None or len(
+            self._wave_off
+        ) != n:
+            self._wave_off = np.zeros(n)
+            self._wave_vel = np.zeros(n)
+            # vertex adjacency from the polygon rings
+            nbr = [set() for _ in range(n)]
+            for poly in self.mesh.polygons:
+                for k, v in enumerate(poly):
+                    nbr[v].add(poly[k - 1])
+                    nbr[v].add(poly[(k + 1) % len(poly)])
+            self._wave_nbrs = [sorted(s) for s in nbr]
+        return self._wave_off, self._wave_vel
+
+    def _wave_laplacian(self) -> np.ndarray:
+        off, _ = self._wave_state()
+        lap = np.zeros_like(off)
+        for i, ns in enumerate(self._wave_nbrs):
+            if ns:
+                lap[i] = np.mean(off[ns]) - off[i]
+        return lap
+
+    def forward_euler(self, timestep: float, damping_factor: float) -> None:
+        """u += dt*v; v += dt*laplace(u) using the OLD offsets, then
+        damp (the explicit scheme of mesh.cpp:52-57)."""
+        off, vel = self._wave_state()
+        lap = self._wave_laplacian()
+        off += timestep * vel
+        vel += timestep * lap
+        vel *= 1.0 - damping_factor
+        self._wave_off, self._wave_vel = off, vel
+
+    def symplectic_euler(self, timestep: float, damping_factor: float) -> None:
+        """v += dt*laplace(u) first, then u += dt*v (the stable
+        semi-implicit scheme of mesh.cpp:59-66)."""
+        off, vel = self._wave_state()
+        vel += timestep * self._wave_laplacian()
+        vel *= 1.0 - damping_factor
+        off += timestep * vel
+        self._wave_off, self._wave_vel = off, vel
+
+    def set_wave_offset(self, vertex: int, value: float) -> None:
+        off, _ = self._wave_state()
+        off[vertex] = value
+
+    def wave_vertices(self) -> np.ndarray:
+        """Current vertices displaced along vertex normals by the wave
+        offsets (how the reference renders the simulation)."""
+        off, _ = self._wave_state()
+        normals = self.mesh.vertex_normals()
+        return self.mesh.vertices + off[:, None] * normals
+
     def _to_static(self, verts: np.ndarray) -> static_scene.Mesh:
         m = PolygonMesh(verts, self.mesh.polygons)
         tris = m.triangulate()
@@ -445,6 +501,7 @@ def load_from_scene_info(scene_info: SceneInfo):
     objects: List[SceneObject] = []
     camera_info: Optional[CameraInfo] = None
     camera_transform = np.eye(4)
+    camera_node = None
     cutracer_camera: Optional[CutracerCamera] = None
 
     for node in scene_info.nodes:
@@ -455,16 +512,24 @@ def load_from_scene_info(scene_info: SceneInfo):
         if instance.type == InstanceType.CAMERA:
             camera_info = instance
             camera_transform = transform
+            camera_node = node
             cutracer_camera = CutracerCamera.from_collada(instance, transform)
         elif instance.type == InstanceType.LIGHT:
             light = init_light(instance, transform)
             if light is not None:
+                light.source_node = node  # for session save round trips
                 lights.append(light)
         elif instance.type == InstanceType.SPHERE:
-            objects.append(init_sphere(instance, transform))
+            sph = init_sphere(instance, transform)
+            sph.source_node = node
+            objects.append(sph)
         elif instance.type == InstanceType.POLYMESH:
-            objects.append(init_polymesh(instance, transform))
+            msh = init_polymesh(instance, transform)
+            msh.source_node = node
+            objects.append(msh)
 
     if not lights:  # default ambient (cudaRenderer.cu:1629-1633)
         lights.append(AmbientLight(LightInfo()))
-    return Scene(objects, lights), camera_info, camera_transform, cutracer_camera
+    scene = Scene(objects, lights)
+    scene.camera_node = camera_node  # for session save round trips
+    return scene, camera_info, camera_transform, cutracer_camera

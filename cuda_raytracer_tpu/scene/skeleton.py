@@ -152,6 +152,54 @@ class Skeleton:
             self.root = j
         return j
 
+    # -- serialization (the reference writes skeletons to side files
+    # next to the scene save buffers, application.h:281-296) ----------
+    def to_arrays(self) -> dict:
+        """Flat numpy arrays capturing the rig: rest axes, current
+        angles, parent links, capsule radii, and per-joint keyframes."""
+        J = len(self.joints)
+        idx = {j: i for i, j in enumerate(self.joints)}
+        out = {
+            "offset": self.offset,
+            "axes": np.stack([j.axis for j in self.joints])
+            if J else np.zeros((0, 3)),
+            "angles": np.stack([j.angle for j in self.joints])
+            if J else np.zeros((0, 3)),
+            "parents": np.asarray(
+                [idx.get(j.parent, -1) if j.parent else -1
+                 for j in self.joints], np.int64
+            ),
+            "radii": np.asarray(
+                [j.capsule_radius for j in self.joints], np.float64
+            ),
+        }
+        for i, j in enumerate(self.joints):
+            if j.rotations.knots:
+                ts = sorted(j.rotations.knots)
+                out[f"kt{i}"] = np.asarray(ts)
+                out[f"kv{i}"] = np.stack(
+                    [np.asarray(j.rotations.knots[t]) for t in ts]
+                )
+        return out
+
+    @classmethod
+    def from_arrays(cls, arrays: dict) -> "Skeleton":
+        sk = cls(offset=np.asarray(arrays["offset"]))
+        joints = []
+        parents = np.asarray(arrays["parents"])
+        for i in range(len(parents)):
+            parent = joints[parents[i]] if parents[i] >= 0 else None
+            j = sk.create_joint(arrays["axes"][i], parent)
+            j.angle = np.asarray(arrays["angles"][i])
+            j.capsule_radius = float(arrays["radii"][i])
+            joints.append(j)
+        for i, j in enumerate(joints):
+            kt, kv = arrays.get(f"kt{i}"), arrays.get(f"kv{i}")
+            if kt is not None:
+                for t, v in zip(np.asarray(kt), np.asarray(kv)):
+                    j.rotations.set_value(float(t), np.asarray(v))
+        return sk
+
     def keyframe(self, t: float) -> None:
         for j in self.joints:
             j.keyframe(t)
