@@ -793,15 +793,11 @@ def trace_closest_wavefront(
     results = jnp.zeros((ROWS, rescap + CHUNK + BLOCK), jnp.float32)
     cursor = jnp.zeros((1,), jnp.int32)
 
-    import os
-
-    _dbg_levels = int(os.environ.get("WF_DEBUG_LEVELS", levels))
-    _dbg_skip = os.environ.get("WF_DEBUG_SKIP", "")
-    for level in range(min(levels, _dbg_levels)):
+    for level in range(levels):
         seg_node = jnp.asarray(seg_nodes_np[level])
 
         # --- leaf segments of this level: append (t, prim, ray) ---
-        if bvh.level_leaf[level] > 0 and "leaf" not in _dbg_skip:
+        if bvh.level_leaf[level] > 0:
             leaf_flag = jnp.asarray(
                 (np.asarray(
                     [1 if n_leaf else 0
@@ -844,12 +840,9 @@ def trace_closest_wavefront(
             [dest_all, jnp.full((1,), -1, jnp.int32)]
         )[next_idx].astype(jnp.int32)
 
-        if "pack" not in _dbg_skip:
-            queue = _run_pack(
-                queue, masks, seg_base, seg_count, pair_dest, W, cols
-            )
-        else:
-            queue = jnp.zeros((ROWS, cols), jnp.float32)
+        queue = _run_pack(
+            queue, masks, seg_base, seg_count, pair_dest, W, cols
+        )
         seg_base = base_next.astype(jnp.int32)
         seg_count = count_next.astype(jnp.int32)
         live_cols = (

@@ -584,7 +584,8 @@ def flatten_scene(
     node_meta = meta.reshape(-1).astype(np.int32)
     if not pg_rows:
         pg_rows.append(np.zeros(128))
-    pg_rows.append(np.zeros(128))  # guard row
+    for _ in range(4):  # guard rows: leaf DMAs fetch 4-row batches
+        pg_rows.append(np.zeros(128))
     prim_groups = np.stack(pg_rows).astype(np.float32)
 
     flat_bvh = FlatBVH(
