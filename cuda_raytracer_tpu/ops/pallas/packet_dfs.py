@@ -344,6 +344,12 @@ def trace_closest_packets(
     """
     bvh = scene.bvh
     W = bvh.width
+    if W > 8:
+        raise ValueError(
+            f"packet-DFS supports tree_width <= 8 (one 8-row node "
+            f"block); got {W}.  Use traversal='pallas' or 'xla' for "
+            f"wider trees."
+        )
     N_in = o.shape[0]
     npad = (-N_in) % C
     N = N_in + npad

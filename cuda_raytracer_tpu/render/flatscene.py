@@ -501,92 +501,100 @@ def flatten_scene(
     lr_all = flat.leaf_range
     ls_all = flat.leaf_start
 
-    if lr_all[0] > 0:
-        bfs_order = [0]
-        is_root_leaf_dfs = True
+    if w > 8:
+        # the packet-DFS node block is one 8-row register per node;
+        # wider trees fall back to the wavefront kernels / XLA scan
+        # (cfg.traversal='dfs' raises a clear error for them)
+        node_dfs = np.zeros((8, 128), np.float32)
+        node_meta = np.full((4,), -1, np.int32)
+        prim_groups = np.zeros((1, 128), np.float32)
     else:
-        is_root_leaf_dfs = False
-        bfs_order = []
-        from collections import deque
-
-        dq = deque([0])
-        while dq:
-            nn = dq.popleft()
-            bfs_order.append(nn)
-            for wch in range(w):
-                o_ = outl[nn, wch]
-                if o_ >= 0 and lr_all[o_] == 0:
-                    dq.append(int(o_))
-    Nd = len(bfs_order)
-    new_id = {nn: i for i, nn in enumerate(bfs_order)}
-
-    blk = np.zeros((Nd, 8, 128), np.float32)
-    blk[:, :, 0:3] = 1e30  # dead slots: inverted boxes always miss
-    blk[:, :, 3:6] = -1e30
-    meta = np.zeros((Nd, 4), np.int64)
-    leaf_runs: List[Tuple[int, int, int]] = []  # (node, slot, prim info)
-    pg_rows: List[np.ndarray] = []
-    ptype_o = ptype[order]
-    v0o, v1o, v2o = v0[order], v1[order], v2[order]
-
-    def emit_leaf_child(prim_lo, prim_cnt):
-        """Append one leaf child's prims as 8-aligned groups; returns
-        (grp0, ngroups)."""
-        grp0 = len(pg_rows)
-        ids = np.arange(prim_lo, prim_lo + prim_cnt)
-        for gs in range(0, prim_cnt, 8):
-            rows = np.zeros((8, 16))
-            rows[:, 9] = -1.0  # pad prims: degenerate, never hit
-            sel = ids[gs : gs + 8]
-            k = len(sel)
-            rows[:k, 0:3] = v0o[sel]
-            rows[:k, 3:6] = v1o[sel]
-            rows[:k, 6:9] = v2o[sel]
-            rows[:k, 9] = ptype_o[sel]
-            rows[:k, 10] = sel
-            pg_rows.append(rows.reshape(128))
-        return grp0, (prim_cnt + 7) // 8
-
-    for i, nn in enumerate(bfs_order):
-        if is_root_leaf_dfs:
-            inner_ch: List[int] = []
-            slots = [(((-3e30,) * 3, (3e30,) * 3),
-                      emit_leaf_child(int(ls_all[0]), int(lr_all[0])))]
+        if lr_all[0] > 0:
+            bfs_order = [0]
+            is_root_leaf_dfs = True
         else:
-            inner_ch = []
-            inner_boxes = []
-            leaf_slots = []
-            for wch in range(w):
-                o_ = outl[nn, wch]
-                if o_ < 0:
-                    continue
-                box = (flat.child_min[nn, wch], flat.child_max[nn, wch])
-                if lr_all[o_] == 0:
-                    inner_ch.append(int(o_))
-                    inner_boxes.append(box)
-                else:
-                    leaf_slots.append(
-                        (box, emit_leaf_child(int(ls_all[o_]),
-                                              int(lr_all[o_])))
-                    )
-            slots = [(b, None) for b in inner_boxes] + leaf_slots
-        for k, entry in enumerate(slots):
-            box, leafinfo = entry
-            bmin, bmax = box
-            blk[i, k, 0:3] = bmin
-            blk[i, k, 3:6] = bmax
-            if leafinfo is not None:
-                blk[i, k, 6] = leafinfo[0]  # grp0
-                blk[i, k, 7] = leafinfo[1]  # ngroups
-        meta[i, 0] = new_id[inner_ch[0]] if inner_ch else 0
-        meta[i, 1] = len(inner_ch)
-    node_dfs = blk.reshape(Nd * 8, 128)
-    node_meta = meta.reshape(-1).astype(np.int32)
-    if not pg_rows:
-        pg_rows.append(np.zeros(128))
-    for _ in range(4):  # guard rows: leaf DMAs fetch 4-row batches
-        pg_rows.append(np.zeros(128))
-    prim_groups = np.stack(pg_rows).astype(np.float32)
+            is_root_leaf_dfs = False
+            bfs_order = []
+            from collections import deque
+
+            dq = deque([0])
+            while dq:
+                nn = dq.popleft()
+                bfs_order.append(nn)
+                for wch in range(w):
+                    o_ = outl[nn, wch]
+                    if o_ >= 0 and lr_all[o_] == 0:
+                        dq.append(int(o_))
+        Nd = len(bfs_order)
+        new_id = {nn: i for i, nn in enumerate(bfs_order)}
+
+        blk = np.zeros((Nd, 8, 128), np.float32)
+        blk[:, :, 0:3] = 1e30  # dead slots: inverted boxes always miss
+        blk[:, :, 3:6] = -1e30
+        meta = np.zeros((Nd, 4), np.int64)
+        leaf_runs: List[Tuple[int, int, int]] = []  # (node, slot, prim info)
+        pg_rows: List[np.ndarray] = []
+        ptype_o = ptype[order]
+        v0o, v1o, v2o = v0[order], v1[order], v2[order]
+
+        def emit_leaf_child(prim_lo, prim_cnt):
+            """Append one leaf child's prims as 8-aligned groups; returns
+            (grp0, ngroups)."""
+            grp0 = len(pg_rows)
+            ids = np.arange(prim_lo, prim_lo + prim_cnt)
+            for gs in range(0, prim_cnt, 8):
+                rows = np.zeros((8, 16))
+                rows[:, 9] = -1.0  # pad prims: degenerate, never hit
+                sel = ids[gs : gs + 8]
+                k = len(sel)
+                rows[:k, 0:3] = v0o[sel]
+                rows[:k, 3:6] = v1o[sel]
+                rows[:k, 6:9] = v2o[sel]
+                rows[:k, 9] = ptype_o[sel]
+                rows[:k, 10] = sel
+                pg_rows.append(rows.reshape(128))
+            return grp0, (prim_cnt + 7) // 8
+
+        for i, nn in enumerate(bfs_order):
+            if is_root_leaf_dfs:
+                inner_ch: List[int] = []
+                slots = [(((-3e30,) * 3, (3e30,) * 3),
+                          emit_leaf_child(int(ls_all[0]), int(lr_all[0])))]
+            else:
+                inner_ch = []
+                inner_boxes = []
+                leaf_slots = []
+                for wch in range(w):
+                    o_ = outl[nn, wch]
+                    if o_ < 0:
+                        continue
+                    box = (flat.child_min[nn, wch], flat.child_max[nn, wch])
+                    if lr_all[o_] == 0:
+                        inner_ch.append(int(o_))
+                        inner_boxes.append(box)
+                    else:
+                        leaf_slots.append(
+                            (box, emit_leaf_child(int(ls_all[o_]),
+                                                  int(lr_all[o_])))
+                        )
+                slots = [(b, None) for b in inner_boxes] + leaf_slots
+            for k, entry in enumerate(slots):
+                box, leafinfo = entry
+                bmin, bmax = box
+                blk[i, k, 0:3] = bmin
+                blk[i, k, 3:6] = bmax
+                if leafinfo is not None:
+                    blk[i, k, 6] = leafinfo[0]  # grp0
+                    blk[i, k, 7] = leafinfo[1]  # ngroups
+            meta[i, 0] = new_id[inner_ch[0]] if inner_ch else 0
+            meta[i, 1] = len(inner_ch)
+        node_dfs = blk.reshape(Nd * 8, 128)
+        node_meta = meta.reshape(-1).astype(np.int32)
+        if not pg_rows:
+            pg_rows.append(np.zeros(128))
+        for _ in range(4):  # guard rows: leaf DMAs fetch 4-row batches
+            pg_rows.append(np.zeros(128))
+        prim_groups = np.stack(pg_rows).astype(np.float32)
 
     flat_bvh = FlatBVH(
         outlets=i32(flat.outlets),

@@ -69,9 +69,9 @@ def main():
 
     if args.grid == "small":
         configs = [
-            (8, 16, "dfs", "tiles8"),
             (4, 32, "dfs", "tiles8"),
-            (8, 16, "dfs", "raster"),
+            (8, 16, "dfs", "tiles8"),
+            (4, 32, "dfs", "raster"),
         ]
     else:
         configs = [
