@@ -117,6 +117,7 @@ def _dfs_kernel(
     # captured constant arrays are rejected by pallas_call)
     wexp = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     w2 = jax.lax.shift_left(jnp.int32(1), wexp).astype(jnp.float32)
+    ones_col = jnp.zeros((C, 1), jnp.float32) + 1.0
 
     def cond(c):
         sp, live, visits = c
@@ -166,9 +167,16 @@ def _dfs_kernel(
         # (The reference's explicit check, cu:189-198, exists to return
         # entry t = 0; the union mask only needs the hit/miss bit.)
         m = (tn <= tf) & (tf >= 0.0) & (tn <= tub) & alive
-        # ONE vector->scalar crossing: the child-hit bitmask
-        anyv = jnp.max(jnp.where(m, 1.0, 0.0), axis=1, keepdims=True)
-        mask = jnp.sum(anyv * w2).astype(jnp.int32)
+        # ONE vector->scalar crossing: the child-hit bitmask.  The
+        # cross-lane reduction rides the MXU as an [8,C]x[C,1] matvec
+        # (a lane-dimension tree reduce on the VPU is ~7 shuffle steps).
+        cnt8 = jax.lax.dot_general(
+            jnp.where(m, 1.0, 0.0),
+            ones_col,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mask = jnp.sum(jnp.where(cnt8 > 0.0, w2, 0.0)).astype(jnp.int32)
 
         ibase = meta_ref[4 * node]
         icnt = meta_ref[4 * node + 1]

@@ -60,6 +60,23 @@ def _norm(v, eps=1e-20):
 # ---------------------------------------------------------------------------
 
 
+def _pix_from_slot(pix, width, height, pix_order):
+    """Map sample-slot pixel index -> actual pixel id.  "tiles8" uses
+    closed-form 8x8-tile arithmetic (a [N] table gather costs a full
+    pass on TPU); an array maps arbitrarily; None is raster order."""
+    if pix_order is None:
+        return pix
+    if isinstance(pix_order, str):
+        assert pix_order == "tiles8", pix_order
+        tx_count = width // 8
+        tile, within = pix // 64, pix % 64
+        ty, tx = tile // tx_count, tile % tx_count
+        py = ty * 8 + within // 8
+        px = tx * 8 + within % 8
+        return py * width + px
+    return pix_order[pix]
+
+
 def generate_camera_rays(
     key,
     width: int,
@@ -83,9 +100,7 @@ def generate_camera_rays(
     """
     n = width * height * spp
     i = jnp.arange(n, dtype=jnp.int32)
-    pix = i // spp
-    if pix_order is not None:
-        pix = pix_order[pix]
+    pix = _pix_from_slot(i // spp, width, height, pix_order)
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
     u = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
@@ -116,9 +131,7 @@ def generate_camera_rays_cutracer(
     inverted up vector."""
     n = width * height * spp
     i = jnp.arange(n, dtype=jnp.int32)
-    pix = i // spp
-    if pix_order is not None:
-        pix = pix_order[pix]
+    pix = _pix_from_slot(i // spp, width, height, pix_order)
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
     u = jax.random.uniform(key, (n, 2), dtype=jnp.float32)

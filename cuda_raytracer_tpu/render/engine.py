@@ -142,7 +142,7 @@ class WavefrontRenderer:
             rank = ((py // t) * (cfg.width // t) * t * t
                     + (px // t) * t * t + (py % t) * t + (px % t))
             rank = rank.reshape(-1)
-            self._pix_order = jnp.asarray(np.argsort(rank), jnp.int32)
+            self._pix_order = "tiles8"  # raygen uses tile arithmetic
             self._inv_order = jnp.asarray(rank, jnp.int32)
         else:
             self._pix_order = None
