@@ -61,6 +61,10 @@ class InteractiveViewer:
         cam.maxR = cam.r * 100.0
         self._home = (cam.pos.copy(), cam.c2w.copy(), cam.targetPos.copy(),
                       cam.r, cam.phi, cam.theta)
+        #: session buffers (keys W/L + digit, application.h:281-296);
+        #: lazily created in the scene directory (or cwd)
+        self._session = None
+        self._pending_session = None
 
     # -- controls ----------------------------------------------------------
     def key(self, ch: str) -> bool:
@@ -93,11 +97,40 @@ class InteractiveViewer:
             pos, c2w, tgt, r, phi, theta = self._home
             cam.pos, cam.c2w = pos.copy(), c2w.copy()
             cam.targetPos, cam.r, cam.phi, cam.theta = tgt.copy(), r, phi, theta
+        elif ch in ("W", "L"):
+            # session save/load prefix: next digit picks the slot
+            # (the editor's w/l + 0-9 bindings, application.h:281-296;
+            # capitalized here because lowercase wasd fly the camera)
+            self._pending_session = ch
+            moved = False
+        elif ch.isdigit() and self._pending_session:
+            self._session_op(self._pending_session, int(ch))
+            moved = self._pending_session == "L"
+            self._pending_session = None
         else:
             moved = False
         if moved:
             self.renderer._reset_accumulation()
         return moved
+
+    def _session_op(self, op: str, slot: int) -> None:
+        import os
+
+        from ..scene.session import SessionManager
+
+        if self._session is None:
+            self._session = SessionManager(os.getcwd())
+        dscene = self.renderer.dynamic_scene
+        if op == "W":
+            if dscene is None:
+                return
+            self._session.save(slot, dscene)
+        else:
+            dscene, ci, cx, cc = self._session.load(slot)
+            self.renderer.dynamic_scene = dscene
+            self.renderer.load_static_scene(
+                dscene.get_static_scene(), ci, cx, cc
+            )
 
     # -- progressive rendering ---------------------------------------------
     def frame(self) -> np.ndarray:

@@ -50,3 +50,24 @@ def test_unknown_key_is_noop():
     v.spin(1)
     assert not v.key("z")
     assert v.status()["spp"] == 2  # unchanged, no reset
+
+
+def test_viewer_session_keys(tmp_path, monkeypatch):
+    """W+digit saves, L+digit reloads (application.h:281-296)."""
+    import os
+
+    from cuda_raytracer_tpu.apps.viewer import InteractiveViewer
+    from cuda_raytracer_tpu.config import RenderConfig
+
+    monkeypatch.chdir(tmp_path)
+    v = InteractiveViewer(
+        RenderConfig(width=16, height=12, samples_per_frame=2,
+                     max_depth=2),
+        scene_path="/root/reference/media/pathtracer/basic/sphere_diffuse.dae",
+    )
+    assert not v.key("W")
+    assert not v.key("3")
+    assert os.path.exists(tmp_path / "Scene_3.dae")
+    assert not v.key("L")
+    assert v.key("3")  # load resets accumulation -> "moved"
+    assert v.renderer.dynamic_scene is not None

@@ -39,7 +39,7 @@ def box_scene():
 def soup_scene():
     """Random triangle soup with a real multi-level wide tree."""
     rng = np.random.default_rng(5)
-    ntri = 3000
+    ntri = 1200
     base = rng.random((ntri, 3)) * 4 - 2
     v = base[:, None, :] + rng.random((ntri, 3, 3)) * 0.3
     mesh = st.Mesh(
