@@ -43,7 +43,7 @@ def run_raw(s, o, d, skip_leaf):
         out_specs=pl.BlockSpec((4, m.C), lambda i, mm: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, m.C), jnp.float32),
+            pltpu.VMEM((5, m.C), jnp.float32),
             pltpu.VMEM((3, m.C), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.VMEM((1, 1, 128), jnp.float32),
