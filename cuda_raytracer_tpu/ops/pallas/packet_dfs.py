@@ -66,6 +66,9 @@ C = 1024
 T_NO_LIMIT = 1e30
 STACK_CAP = 256
 MAX_VISITS = 1 << 20
+#: prim-group rows fetched per leaf DMA (runs are padded so overreads
+#: stay inside the table)
+GBATCH = 4
 
 
 class WaveTraceResult(NamedTuple):
@@ -83,7 +86,7 @@ def _dfs_kernel(
     aux,  # [5, C] scratch: inv_d rows + per-leaf-job best t/prim
     state,  # [3, C] scratch: tub row, prim row, best-t row
     nblk,  # [8, 128] scratch: current node block
-    pblk,  # [1, 1, 128] scratch: current prim-group row
+    pblk,  # [GBATCH, 128] scratch: one leaf DMA batch of prim rows
     nsem,
     psem,
     stack,  # SMEM [STACK_CAP] i32
@@ -193,7 +196,6 @@ def _dfs_kernel(
             sp = sp + act.astype(jnp.int32)
 
         # ---- leaf children: tighten the bound inline ----
-        srow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
         for w in range(W):
             leaf_act = (w >= icnt) & (
                 jax.lax.shift_right_logical(mask, w) & 1 == 1
@@ -208,15 +210,21 @@ def _dfs_kernel(
                 aux[3:4, :] = jnp.full((1, C), T_NO_LIMIT, jnp.float32)
                 aux[4:5, :] = jnp.full((1, C), -1.0, jnp.float32)
 
-                def group_body(g, _):
+                def batch_body(b, _):
                     gcp = pltpu.make_async_copy(
-                        prims_ref.at[pl.ds(grp0 + g, 1), :],
-                        pblk.at[0],
-                        psem.at[0],
+                        prims_ref.at[pl.ds(grp0 + b * GBATCH, GBATCH), :],
+                        pblk,
+                        psem,
                     )
                     gcp.start()
                     gcp.wait()
-                    grow = pblk[0]
+                    for gi in range(GBATCH):
+                        @pl.when(b * GBATCH + gi < ngroups)
+                        def _(gi=gi):
+                            _leaf_group_update(pblk[gi : gi + 1, :])
+                    return 0
+
+                def _leaf_group_update(grow):
                     # [1,128] -> [8,16]: prim s's fields to sublane s
                     # (roll to lane 0 first: concat needs equal offsets)
                     pb = jnp.concatenate(
@@ -291,9 +299,9 @@ def _dfs_kernel(
                     better = tbest < job_t
                     aux[4:5, :] = jnp.where(better, prim, aux[4:5, :])
                     aux[3:4, :] = jnp.where(better, tbest, job_t)
-                    return 0
 
-                jax.lax.fori_loop(0, ngroups, group_body, 0)
+                nbatches = (ngroups + GBATCH - 1) // GBATCH
+                jax.lax.fori_loop(0, nbatches, batch_body, 0)
 
                 tub_row = state[0:1, :]
                 better = aux[3:4, :] < tub_row
@@ -402,9 +410,9 @@ def trace_closest_packets(
             pltpu.VMEM((5, C), jnp.float32),
             pltpu.VMEM((3, C), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.VMEM((1, 1, 128), jnp.float32),
+            pltpu.VMEM((GBATCH, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SMEM((STACK_CAP,), jnp.int32),
         ],
     )
