@@ -578,6 +578,8 @@ def flatten_scene(
                                                   int(lr_all[o_])))
                         )
                 slots = [(b, None) for b in inner_boxes] + leaf_slots
+            leaf_grp0 = None
+            leaf_ngroups = 0
             for k, entry in enumerate(slots):
                 box, leafinfo = entry
                 bmin, bmax = box
@@ -586,8 +588,16 @@ def flatten_scene(
                 if leafinfo is not None:
                     blk[i, k, 6] = leafinfo[0]  # grp0
                     blk[i, k, 7] = leafinfo[1]  # ngroups
+                    if leaf_grp0 is None:
+                        leaf_grp0 = leafinfo[0]
+                    leaf_ngroups += leafinfo[1]
             meta[i, 0] = new_id[inner_ch[0]] if inner_ch else 0
             meta[i, 1] = len(inner_ch)
+            # all leaf children of a node emit consecutive 8-aligned
+            # group runs, so one (grp0, total groups) covers them as a
+            # single leaf job
+            meta[i, 2] = leaf_grp0 if leaf_grp0 is not None else 0
+            meta[i, 3] = leaf_ngroups
         node_dfs = blk.reshape(Nd * 8, 128)
         node_meta = meta.reshape(-1).astype(np.int32)
         if not pg_rows:
