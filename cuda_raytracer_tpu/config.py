@@ -32,10 +32,12 @@ class RenderConfig:
     sah_bins: int = 12
 
     # ---- wavefront queues ----
-    #: queue capacity multiplier: per-level entry capacity = multiplier * num
-    #: rays (reference queueSize = numRays*TREE_WIDTH*4, cudaRenderer.cu:1920;
-    #: 2 is ample in practice — overflows are counted and reported).
-    queue_multiplier: int = 4
+    #: queue capacity multiplier for the wavefront backends: per-level
+    #: entry capacity = multiplier * num rays (reference queueSize =
+    #: numRays*TREE_WIDTH*4, cudaRenderer.cu:1920).  2 is ample in
+    #: practice; overflows are counted and reported as dropped rays.
+    #: The packet-DFS backend has no queues and ignores this.
+    queue_multiplier: int = 2
     #: traversal backend: "auto" = packet-DFS Pallas kernel on TPU, XLA
     #: scan elsewhere; "dfs" / "pallas" (wavefront2 segment kernels) /
     #: "pallas1" (round-1 kernels; comparison benches) / "xla" force one.

@@ -845,9 +845,6 @@ def trace_closest_wavefront(
         )
         seg_base = base_next.astype(jnp.int32)
         seg_count = count_next.astype(jnp.int32)
-        live_cols = (
-            (seg_base[-1] + (seg_count[-1] + BLOCK - 1) // BLOCK) * BLOCK
-        )
 
     # --- single deterministic merge over the append log ---
     used = jnp.minimum(cursor[0], rescap)
