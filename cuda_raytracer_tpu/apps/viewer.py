@@ -104,8 +104,8 @@ class InteractiveViewer:
             self._pending_session = ch
             moved = False
         elif ch.isdigit() and self._pending_session:
-            self._session_op(self._pending_session, int(ch))
-            moved = self._pending_session == "L"
+            did = self._session_op(self._pending_session, int(ch))
+            moved = did and self._pending_session == "L"
             self._pending_session = None
         else:
             moved = False
@@ -113,7 +113,7 @@ class InteractiveViewer:
             self.renderer._reset_accumulation()
         return moved
 
-    def _session_op(self, op: str, slot: int) -> None:
+    def _session_op(self, op: str, slot: int) -> bool:
         import os
 
         from ..scene.session import SessionManager
@@ -123,14 +123,20 @@ class InteractiveViewer:
         dscene = self.renderer.dynamic_scene
         if op == "W":
             if dscene is None:
-                return
+                return False
             self._session.save(slot, dscene)
-        else:
+            return True
+        try:
             dscene, ci, cx, cc = self._session.load(slot)
-            self.renderer.dynamic_scene = dscene
-            self.renderer.load_static_scene(
-                dscene.get_static_scene(), ci, cx, cc
-            )
+        except FileNotFoundError:
+            # empty slot: no-op, like the reference's silent failed
+            # load (application.cpp load path just keeps the scene)
+            return False
+        self.renderer.dynamic_scene = dscene
+        self.renderer.load_static_scene(
+            dscene.get_static_scene(), ci, cx, cc
+        )
+        return True
 
     # -- progressive rendering ---------------------------------------------
     def frame(self) -> np.ndarray:

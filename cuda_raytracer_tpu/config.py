@@ -53,6 +53,21 @@ class RenderConfig:
     #: a frame makes 30+), no elsewhere (per-stage jits compile much
     #: faster and CPU dispatch is cheap).
     fuse_frame: str = "auto"
+    #: rays per packet-DFS traversal packet (the analog of the
+    #: reference's RAYS_PER_BLOCK=64, cudaRenderer.h:59, sized for the
+    #: 8x128 VPU instead of a 2-warp CUDA block).  Smaller packets
+    #: shrink the union a divergent packet traverses; larger packets
+    #: amortize per-visit control flow on coherent passes.
+    packet_size: int = 1024
+    #: packet size for secondary (bounce / depth>0 shadow) passes;
+    #: 0 = same as packet_size.
+    packet_size_secondary: int = 0
+    #: traversal backend for secondary passes (bounce and depth>0
+    #: shadow rays); "" = same as `traversal`.  The backends have
+    #: opposite strengths: packet-DFS collapses to near-single-ray cost
+    #: on coherent packets, wavefront2's queue design is coherence-
+    #: insensitive — mixing them per pass beats either alone.
+    traversal_secondary: str = ""
 
     # ---- path schedule ----
     #: number of path vertices (camera hit = depth 1). The reference hard
@@ -117,6 +132,30 @@ class RenderConfig:
             raise ValueError(f"unknown sample_order {self.sample_order!r}")
         if self.fuse_frame not in ("auto", "yes", "no"):
             raise ValueError(f"unknown fuse_frame {self.fuse_frame!r}")
+        if self.traversal_secondary not in (
+            "", "auto", "dfs", "pallas", "pallas1", "xla"
+        ):
+            raise ValueError(
+                f"unknown traversal_secondary {self.traversal_secondary!r}"
+            )
+        if self.sample_order == "tiles8" and (
+            self.width % 8 or self.height % 8
+        ):
+            # tiles8 raygen/reconstruction use closed-form 8x8-tile
+            # arithmetic that is only a bijection when both dims are
+            # multiples of 8; anything else scatters samples to
+            # out-of-range pixels.
+            raise ValueError(
+                "sample_order='tiles8' requires width and height to be "
+                f"multiples of 8, got {self.width}x{self.height}; use "
+                "sample_order='raster'"
+            )
+        for ps in (self.packet_size, self.packet_size_secondary):
+            if ps and (ps % 128 or ps < 128):
+                raise ValueError(
+                    f"packet sizes must be positive multiples of 128 "
+                    f"(TPU lane width), got {ps}"
+                )
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

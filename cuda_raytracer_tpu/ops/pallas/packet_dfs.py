@@ -60,7 +60,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...render.flatscene import FlatScene
 
-#: rays per packet
+#: default rays per packet (overridable per call: cfg.packet_size)
 C = 1024
 #: finite "no limit" initial bound (must not be inf: inf*0 = nan)
 T_NO_LIMIT = 1e30
@@ -75,6 +75,24 @@ class WaveTraceResult(NamedTuple):
     t: jnp.ndarray
     prim: jnp.ndarray
     dropped: jnp.ndarray
+
+
+#: combined node+prim table budget for keeping both VMEM-resident.
+#: The v5e kernel also needs payload/scratch blocks and double-buffered
+#: grid blocks, so stay well under the hardware limit.
+VMEM_TABLE_BUDGET = 48 * 1024 * 1024
+
+
+def dfs_tables_fit_vmem(bvh) -> bool:
+    """True if this scene's node/prim tables can be VMEM-resident (the
+    fast path) on top of the kernel's own scratch."""
+    if bvh.width > 8:
+        return False
+    nbytes = 4 * (
+        bvh.node_dfs.shape[0] * bvh.node_dfs.shape[1]
+        + bvh.prim_groups.shape[0] * bvh.prim_groups.shape[1]
+    )
+    return nbytes <= VMEM_TABLE_BUDGET
 
 
 def _dfs_kernel(
@@ -94,6 +112,7 @@ def _dfs_kernel(
     width: int,
     do_kill: bool,
     kill_eps: float,
+    C: int,
 ):
     W = width
 
@@ -333,7 +352,14 @@ def _dfs_kernel(
     out_ref[2:3, :] = jnp.zeros((1, C), jnp.float32) + visits.astype(
         jnp.float32
     )
-    out_ref[3:4, :] = jnp.zeros((1, C), jnp.float32)
+    # truncation flag: the visit cap fired with stack entries (and live
+    # lanes) unprocessed — those lanes may have missed their true
+    # closest hit.  Surfaced as `dropped` (the failure-observability
+    # counter the queue backends get from overflow accounting).
+    truncated = (sp > 0) & (visits >= MAX_VISITS)
+    out_ref[3:4, :] = jnp.where(
+        truncated & (state[0:1, :] >= 0.0), 1.0, 0.0
+    )
 
 
 _INTERPRET = False
@@ -348,16 +374,20 @@ def trace_closest_packets(
     valid: jnp.ndarray,
     t_limit: jnp.ndarray = None,
     kill_eps: float = 1e-3,
+    packet_size: int = C,
 ) -> WaveTraceResult:
     """Closest-hit / shadow traversal for N rays via packet DFS.
 
-    Returns t (inf on miss), prim (-1 on miss), dropped (always 0 —
-    this design has no queues to overflow).  Shadow passes (t_limit)
+    Returns t (inf on miss), prim (-1 on miss), dropped (the number of
+    live lanes in packets whose DFS hit the MAX_VISITS cap with stack
+    entries unprocessed — such lanes may have lost hits; unreachable on
+    sane scenes but surfaced rather than silent).  Shadow passes (t_limit)
     never record hits beyond the limit: misses and beyond-light hits
     both come back as prim=-1 / t=inf, which the pass condition
     ``t > maxT - eps`` (src/cudaRenderer.cu:1279) treats identically
     to the reference.
     """
+    C = packet_size  # shadow the module default
     bvh = scene.bvh
     W = bvh.width
     if W > 8:
@@ -418,7 +448,8 @@ def trace_closest_packets(
     )
     out = pl.pallas_call(
         functools.partial(
-            _dfs_kernel, width=W, do_kill=do_kill, kill_eps=kill_eps
+            _dfs_kernel, width=W, do_kill=do_kill, kill_eps=kill_eps,
+            C=C,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, N), jnp.float32),
@@ -430,5 +461,5 @@ def trace_closest_packets(
     return WaveTraceResult(
         t=jnp.where(prim >= 0, t, jnp.float32(jnp.inf)),
         prim=prim,
-        dropped=jnp.int32(0),
+        dropped=jnp.sum(out[3, :N_in]).astype(jnp.int32),
     )

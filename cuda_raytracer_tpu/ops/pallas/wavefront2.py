@@ -1008,9 +1008,12 @@ def trace_closest_wavefront(
     best_bits = best_bits.at[ray_i].min(bits, mode="drop")
     win = live & (bits == best_bits[jnp.clip(ray_i, 0, N_in)])
     tgt = jnp.where(win, ray_i, N_in)
+    # deterministic tie-break among bit-equal-t winners: max prim id
+    # (same convention as packet_dfs's leaf merge) — a plain .set would
+    # leave duplicate-index winners unspecified (shared-edge ties)
     best_prim = jnp.full((N_in + 1,), -1, jnp.int32)
-    best_prim = best_prim.at[tgt].set(
-        p_flat.astype(jnp.int32), mode="drop"
+    best_prim = best_prim.at[tgt].max(
+        jnp.where(win, p_flat.astype(jnp.int32), -1), mode="drop"
     )
     best_bits = best_bits[:N_in]
     best_prim = best_prim[:N_in]

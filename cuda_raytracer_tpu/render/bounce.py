@@ -24,27 +24,52 @@ from ..ops.traverse import trace_closest
 from ..render.flatscene import FlatScene
 
 
-def make_trace_fn(cfg: RenderConfig):
-    """Traversal backend selected by cfg.traversal:
+def make_trace_fn(cfg: RenderConfig, secondary: bool = False):
+    """Traversal backend selected by cfg.traversal (or, for bounce and
+    depth>0 shadow passes, cfg.traversal_secondary when set):
 
-    * ``dfs``     — packet-DFS Pallas kernel (fastest; the default on
-      TPU)
-    * ``pallas``  — fused segment-major Pallas kernels (wavefront2)
+    * ``dfs``     — packet-DFS Pallas kernel (fastest on coherent
+      passes; the default on TPU)
+    * ``pallas``  — fused segment-major Pallas kernels (wavefront2;
+      coherence-insensitive — wins on incoherent secondary passes)
     * ``pallas1`` — the round-1 kernels (kept for comparison benches)
     * ``xla``     — pure-XLA scan traversal
     * ``auto``    — dfs on TPU, xla elsewhere
     """
-    kind = cfg.traversal
-    if kind == "auto":
+    kind = (cfg.traversal_secondary or cfg.traversal) if secondary \
+        else cfg.traversal
+    auto = kind == "auto"
+    if auto:
         kind = "dfs" if jax.default_backend() == "tpu" else "xla"
 
     if kind == "dfs":
-        from ..ops.pallas.packet_dfs import trace_closest_packets
+        from ..ops.pallas.packet_dfs import (
+            dfs_tables_fit_vmem, trace_closest_packets,
+        )
+
+        psize = (cfg.packet_size_secondary or cfg.packet_size) \
+            if secondary else cfg.packet_size
+
+        fallback = None
 
         def trace(scene, o, d, valid, t_limit=None):
             tl = None if cfg.reference_compat else t_limit
+            if auto and not dfs_tables_fit_vmem(scene.bvh):
+                # wide tree or tables past the VMEM budget: route to
+                # the queue-based backend instead of erroring (static
+                # per scene shape — one trace each)
+                nonlocal fallback
+                if fallback is None:
+                    fallback = make_trace_fn(
+                        cfg.replace(
+                            traversal="pallas", traversal_secondary=""
+                        ),
+                        secondary=secondary,
+                    )
+                return fallback(scene, o, d, valid, t_limit)
             return trace_closest_packets(
                 scene, o, d, valid, tl, kill_eps=cfg.shadow_eps,
+                packet_size=psize,
             )
 
     elif kind == "pallas":
@@ -80,6 +105,13 @@ def make_trace_fn(cfg: RenderConfig):
 def make_stage_fns(cfg: RenderConfig):
     """The per-frame stage functions (pure; jit them or not)."""
     trace = make_trace_fn(cfg)
+    same_secondary = (
+        (cfg.traversal_secondary in ("", cfg.traversal))
+        and not cfg.packet_size_secondary
+    )
+    trace_secondary = trace if same_secondary else make_trace_fn(
+        cfg, secondary=True
+    )
 
     def shade_hit(scene, o, d, t, prim, valid, importance, light,
                   count_emission):
@@ -115,6 +147,7 @@ def make_stage_fns(cfg: RenderConfig):
 
     return {
         "trace": trace,
+        "trace_secondary": trace_secondary,
         "shade_hit": shade_hit,
         "nee_prep": nee_prep,
         "nee_accum": nee_accum,
@@ -184,7 +217,13 @@ def run_depth(J, cfg: RenderConfig, scene: FlatScene, carry, key, depth):
     that XLA's rematerializer spills 40x-padded [N,3] copies."""
     (o, d, valid, importance, light, count_emission, dropped) = carry
     schedule = list(cfg.nee_schedule)
-    res = J["trace"](scene, o, d, valid)
+    # depth 0 traces camera rays and camera-hit shadow rays (coherent);
+    # every depth>0 pass traces scattered rays (incoherent) and may use
+    # a different backend / packet size (cfg.traversal_secondary)
+    tr = J["trace"] if depth == 0 else J.get(
+        "trace_secondary", J["trace"]
+    )
+    res = tr(scene, o, d, valid)
     dropped = dropped + res.dropped
     hit, light = J["shade_hit"](
         scene, o, d, res.t, res.prim, valid, importance, light,
@@ -201,7 +240,7 @@ def run_depth(J, cfg: RenderConfig, scene: FlatScene, carry, key, depth):
             o_s, d_s, max_t, li_imp, ok = J["nee_prep"](
                 scene, hit, importance, k_u, li, float(weight)
             )
-            res_s = J["trace"](scene, o_s, d_s, ok, max_t)
+            res_s = tr(scene, o_s, d_s, ok, max_t)
             dropped = dropped + res_s.dropped
             light = J["nee_accum"](
                 light, res_s.t, res_s.prim, max_t, li_imp, ok

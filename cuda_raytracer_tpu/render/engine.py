@@ -236,6 +236,7 @@ class WavefrontRenderer:
             self._jit = {
                 "raygen": jax.jit(raygen),
                 "trace": jax.jit(stages["trace"]),
+                "trace_secondary": jax.jit(stages["trace_secondary"]),
                 "shade_hit": jax.jit(stages["shade_hit"]),
                 "nee_prep": jax.jit(stages["nee_prep"],
                                     static_argnums=(4, 5)),

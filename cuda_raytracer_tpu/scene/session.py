@@ -98,12 +98,20 @@ class SessionManager:
         dae, skel = self._paths(slot)
         write_scene(dae, scene_to_info(scene))
         rigs = {}
-        for i, obj in enumerate(scene.objects):
+        # key skeletons by the object's index in the EXPORTED scene
+        # (scene_to_info drops anything that is not a Mesh/Sphere, so
+        # the raw list index would misalign after a round trip)
+        exported = 0
+        for obj in scene.objects:
+            if not isinstance(obj, (ds.Mesh, ds.Sphere)):
+                continue
             sk = getattr(obj, "skeleton", None)
             if sk is not None:
                 rigs.update(
-                    {f"m{i}_{k}": v for k, v in sk.to_arrays().items()}
+                    {f"m{exported}_{k}": v
+                     for k, v in sk.to_arrays().items()}
                 )
+            exported += 1
         if rigs:
             np.savez(skel, **rigs)
         elif os.path.exists(skel):

@@ -141,6 +141,37 @@ def test_shadow_rays_occlusion_decision(soup_scene):
     np.testing.assert_array_equal(got_pass, ref_pass)
 
 
+def test_visit_cap_truncation_reported(soup_scene, monkeypatch):
+    """When the DFS visit cap fires with work outstanding, the dropped
+    counter must fire instead of silently losing hits (VERDICT r2 weak
+    item 6)."""
+    o, d = random_rays(pdfs.C, seed=9, origin_box=3.0)
+    valid = jnp.ones((o.shape[0],), bool)
+    full = pdfs.trace_closest_packets(soup_scene, o, d, valid)
+    assert int(full.dropped) == 0
+    monkeypatch.setattr(pdfs, "MAX_VISITS", 3)
+    cut = pdfs.trace_closest_packets(soup_scene, o, d, valid)
+    assert int(cut.dropped) > 0
+
+
+def test_packet_size_variants(soup_scene):
+    """Non-default packet sizes produce identical results (cfg
+    packet_size / packet_size_secondary plumbing)."""
+    o, d = random_rays(512, seed=11, origin_box=3.0)
+    valid = jnp.ones((512,), bool)
+    a = pdfs.trace_closest_packets(soup_scene, o, d, valid)
+    for ps in (128, 256):
+        b = pdfs.trace_closest_packets(
+            soup_scene, o, d, valid, packet_size=ps
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.prim), np.asarray(b.prim)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.t), np.asarray(b.t), rtol=1e-6
+        )
+
+
 def test_tiny_scene_root_leaf():
     """Root-is-leaf scenes traverse through the synthesized leaf row."""
     scene, _ = flatten_scene(
