@@ -48,6 +48,13 @@ def main():
         max_leaf_size=16,
         sample_order="tiles8",
         rr_start_depth=2,
+        # per-pass hybrid (tools/bench_passes.py, BENCHNOTES r3): DFS
+        # wins coherent depth-0 passes (primary 100 Mrays/s), the
+        # queue-based wavefront2 is coherence-insensitive and wins the
+        # incoherent depth>=1 passes ~3-4x (669 vs 2761 ms on
+        # bounce-d1)
+        traversal="dfs",
+        traversal_secondary="pallas",
     )
     r = WavefrontRenderer(cfg, camera_mode="collada")
     if os.path.exists(SCENE):

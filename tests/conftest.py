@@ -8,9 +8,14 @@ xla_force_host_platform_device_count).  Must be set before jax imports.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may export axon/tpu
+#: RUN_TPU_TESTS=1 keeps the real TPU visible so `pytest -m tpu` can
+#: run the on-hardware parity suite (test_tpu_parity.py); everything
+#: else runs on the forced-CPU virtual mesh.
+RUN_TPU = bool(os.environ.get("RUN_TPU_TESTS"))
+if not RUN_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # the shell may export axon/tpu
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not RUN_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
@@ -25,12 +30,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # PALLAS_AXON_POOL_IPS= to skip the TPU registration entirely.)
 import jax  # noqa: E402
 
-try:
-    jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
+if not RUN_TPU:
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: on-hardware kernel parity tests (need RUN_TPU_TESTS=1 "
+        "and a real TPU; run `RUN_TPU_TESTS=1 pytest -m tpu`)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_TPU:
+        # TPU session: run ONLY the tpu-marked tests (the rest of the
+        # suite assumes the 8-device CPU mesh)
+        skip = pytest.mark.skip(reason="non-TPU test in TPU session")
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip)
+    else:
+        skip = pytest.mark.skip(
+            reason="needs RUN_TPU_TESTS=1 and TPU hardware"
+        )
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)
 
 REFERENCE_MEDIA = "/root/reference/media/pathtracer"
 
