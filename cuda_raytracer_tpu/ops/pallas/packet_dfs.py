@@ -375,6 +375,7 @@ def trace_closest_packets(
     t_limit: jnp.ndarray = None,
     kill_eps: float = 1e-3,
     packet_size: int = C,
+    vmem_tables: bool | None = None,
 ) -> WaveTraceResult:
     """Closest-hit / shadow traversal for N rays via packet DFS.
 
@@ -386,6 +387,13 @@ def trace_closest_packets(
     both come back as prim=-1 / t=inf, which the pass condition
     ``t > maxT - eps`` (src/cudaRenderer.cu:1279) treats identically
     to the reference.
+
+    ``vmem_tables``: keep the node/prim tables VMEM-resident (fastest;
+    the default when they fit the budget) or leave them in HBM and let
+    every visit's DMA fetch from there (slower per visit but scales to
+    dragon-class scenes — the analog of the reference streaming its
+    tree from global memory, src/cudaRenderer.cu:1953-2019).  None =
+    auto by table size.
     """
     C = packet_size  # shadow the module default
     bvh = scene.bvh
@@ -422,6 +430,14 @@ def trace_closest_packets(
         pad = pad.at[3:6, :].set(1.0)
         payload = jnp.concatenate([payload, pad], axis=1)
 
+    if vmem_tables is None:
+        vmem_tables = dfs_tables_fit_vmem(bvh)
+    table_spec = (
+        (lambda shape: pl.BlockSpec(shape, lambda i, m: (0, 0),
+                                    memory_space=pltpu.VMEM))
+        if vmem_tables
+        else (lambda shape: pl.BlockSpec(memory_space=pltpu.ANY))
+    )
     grid = N // C
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -429,10 +445,8 @@ def trace_closest_packets(
         in_specs=[
             pl.BlockSpec((8, C), lambda i, m: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(bvh.node_dfs.shape, lambda i, m: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(bvh.prim_groups.shape, lambda i, m: (0, 0),
-                         memory_space=pltpu.VMEM),
+            table_spec(bvh.node_dfs.shape),
+            table_spec(bvh.prim_groups.shape),
         ],
         out_specs=pl.BlockSpec((4, C), lambda i, m: (0, i),
                                memory_space=pltpu.VMEM),

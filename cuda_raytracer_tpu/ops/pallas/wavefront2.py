@@ -855,6 +855,7 @@ def trace_closest_wavefront(
     kill_eps: float = 1e-3,
     debug_levels: int = 0,
     debug_no_leaf: bool = False,
+    debug_no_merge: bool = False,
 ) -> WaveTraceResult:
     """Closest-hit traversal for N rays via the fused segment-major
     Pallas pipeline.  Exact-match semantics vs ops.traverse.trace_closest
@@ -995,6 +996,12 @@ def trace_closest_wavefront(
         seg_count = count_next.astype(jnp.int32)
 
     # ---- deterministic merge of the hit log ----
+    if debug_no_merge:  # timing diagnostics only — wrong results
+        return WaveTraceResult(
+            t=log[0, :N_in] + cursor[0].astype(jnp.float32),
+            prim=log[1, :N_in].astype(jnp.int32),
+            dropped=dropped,
+        )
     used = jnp.minimum(cursor[0], logcap)
     colid = jnp.arange(logcols, dtype=jnp.int32)
     live = colid < used

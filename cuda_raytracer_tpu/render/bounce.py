@@ -43,9 +43,7 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False):
         kind = "dfs" if jax.default_backend() == "tpu" else "xla"
 
     if kind == "dfs":
-        from ..ops.pallas.packet_dfs import (
-            dfs_tables_fit_vmem, trace_closest_packets,
-        )
+        from ..ops.pallas.packet_dfs import trace_closest_packets
 
         psize = (cfg.packet_size_secondary or cfg.packet_size) \
             if secondary else cfg.packet_size
@@ -54,10 +52,10 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False):
 
         def trace(scene, o, d, valid, t_limit=None):
             tl = None if cfg.reference_compat else t_limit
-            if auto and not dfs_tables_fit_vmem(scene.bvh):
-                # wide tree or tables past the VMEM budget: route to
-                # the queue-based backend instead of erroring (static
-                # per scene shape — one trace each)
+            if auto and scene.bvh.width > 8:
+                # trees wider than one 8-row node block: route to the
+                # queue-based backend instead of erroring (static per
+                # scene shape — one trace each)
                 nonlocal fallback
                 if fallback is None:
                     fallback = make_trace_fn(
@@ -67,6 +65,8 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False):
                         secondary=secondary,
                     )
                 return fallback(scene, o, d, valid, t_limit)
+            # large scenes: tables stay HBM-resident (auto inside);
+            # explicit traversal='dfs' keeps the same behavior
             return trace_closest_packets(
                 scene, o, d, valid, tl, kill_eps=cfg.shadow_eps,
                 packet_size=psize,

@@ -57,7 +57,7 @@ def capture_passes(cfg):
         depth_state["k"] += 1
         return real_trace(scene, o, d, valid, t_limit)
 
-    stages = dict(stages, trace=rec_trace)
+    stages = dict(stages, trace=rec_trace, trace_secondary=rec_trace)
 
     key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 0)
     cam = r._camera_arrays()
