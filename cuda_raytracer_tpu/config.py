@@ -68,6 +68,18 @@ class RenderConfig:
     #: on coherent packets, wavefront2's queue design is coherence-
     #: insensitive — mixing them per pass beats either alone.
     traversal_secondary: str = ""
+    #: compact dead lanes (invalid / RR-killed / decided shadow rays)
+    #: out of the queue before secondary wavefront traversals.  The
+    #: wavefront merge scatters by ray id, so compaction needs no
+    #: inverse permutation; with rr_start_depth=2 the depth-2/3 sweeps
+    #: shrink 4-10x.  The reference's scan-compaction serves the same
+    #: role (src/exclusiveScan.cu_inl:73-110).  Ignored by non-pallas
+    #: backends.
+    compact_secondary: bool = True
+    #: conservative bf16 AABB slab tests in the packet-DFS kernel (2x
+    #: vector throughput on the dominant per-visit math; outward
+    #: rounding makes false positives only, so results are unchanged).
+    slab_bf16: bool = False
 
     # ---- path schedule ----
     #: number of path vertices (camera hit = depth 1). The reference hard

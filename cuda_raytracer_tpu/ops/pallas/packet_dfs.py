@@ -113,6 +113,7 @@ def _dfs_kernel(
     do_kill: bool,
     kill_eps: float,
     C: int,
+    slab_bf16: bool,
 ):
     W = width
 
@@ -162,33 +163,76 @@ def _dfs_kernel(
         tub = state[0:1, :]
         alive = tub >= 0.0
 
-        mnx = blk[:, 0:1]
-        mny = blk[:, 1:2]
-        mnz = blk[:, 2:3]
-        mxx = blk[:, 3:4]
-        mxy = blk[:, 4:5]
-        mxz = blk[:, 5:6]
-        # slab test, all W children at once: [8,1] x [1,C] -> [8,C]
-        # (intersectBBox, src/cudaRenderer.cu:154-207)
-        t0x = (mnx - o_x) * inv_x
-        t1x = (mxx - o_x) * inv_x
-        t0y = (mny - o_y) * inv_y
-        t1y = (mxy - o_y) * inv_y
-        t0z = (mnz - o_z) * inv_z
-        t1z = (mxz - o_z) * inv_z
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.minimum(t0z, t1z),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
-        # No separate origin-inside test: inside origins give tn < 0 <=
-        # tf, which already passes (tn <= tf) & (tf >= 0) & (tn <= tub).
-        # (The reference's explicit check, cu:189-198, exists to return
-        # entry t = 0; the union mask only needs the hit/miss bit.)
-        m = (tn <= tf) & (tf >= 0.0) & (tn <= tub) & alive
+        if slab_bf16:
+            # bf16 slab test with conservative widening.  The per-axis
+            # differences are taken in f32 FIRST (a bf16 subtraction of
+            # nearby origin/bound values would amplify cancellation
+            # beyond any relative margin), then rounded: each product
+            # then carries <= ~2^-8 RELATIVE error, which min/max
+            # selection preserves, so shrinking tn / growing tf / tub
+            # by a relative margin + absolute pad makes the test
+            # conservative.  False POSITIVES only — extra visits,
+            # never a lost hit — results stay bit-identical to f32.
+            bf = jnp.bfloat16
+            ib_x, ib_y, ib_z = (
+                inv_x.astype(bf), inv_y.astype(bf), inv_z.astype(bf)
+            )
+            t0x = (blk[:, 0:1] - o_x).astype(bf) * ib_x
+            t1x = (blk[:, 3:4] - o_x).astype(bf) * ib_x
+            t0y = (blk[:, 1:2] - o_y).astype(bf) * ib_y
+            t1y = (blk[:, 4:5] - o_y).astype(bf) * ib_y
+            t0z = (blk[:, 2:3] - o_z).astype(bf) * ib_z
+            t1z = (blk[:, 5:6] - o_z).astype(bf) * ib_z
+            tn_b = jnp.maximum(
+                jnp.maximum(
+                    jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)
+                ),
+                jnp.minimum(t0z, t1z),
+            )
+            tf_b = jnp.minimum(
+                jnp.minimum(
+                    jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)
+                ),
+                jnp.maximum(t0z, t1z),
+            )
+            eps = bf(0.02)  # >= a few 2^-8 roundings, safely
+            pad = bf(1e-3)  # absolute floor for |t| ~ 0
+            tn = tn_b - jnp.abs(tn_b) * eps - pad
+            tf = tf_b + jnp.abs(tf_b) * eps + pad
+            tub_b = tub.astype(bf)
+            tub_c = tub_b + jnp.abs(tub_b) * eps + pad
+            m = (tn <= tf) & (tf >= bf(0.0)) & (tn <= tub_c) & alive
+        else:
+            mnx = blk[:, 0:1]
+            mny = blk[:, 1:2]
+            mnz = blk[:, 2:3]
+            mxx = blk[:, 3:4]
+            mxy = blk[:, 4:5]
+            mxz = blk[:, 5:6]
+            # slab test, all W children at once: [8,1] x [1,C] -> [8,C]
+            # (intersectBBox, src/cudaRenderer.cu:154-207)
+            t0x = (mnx - o_x) * inv_x
+            t1x = (mxx - o_x) * inv_x
+            t0y = (mny - o_y) * inv_y
+            t1y = (mxy - o_y) * inv_y
+            t0z = (mnz - o_z) * inv_z
+            t1z = (mxz - o_z) * inv_z
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x),
+                            jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x),
+                            jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            # No separate origin-inside test: inside origins give tn <
+            # 0 <= tf, which already passes (tn <= tf) & (tf >= 0) &
+            # (tn <= tub).  (The reference's explicit check,
+            # cu:189-198, exists to return entry t = 0; the union mask
+            # only needs the hit/miss bit.)
+            m = (tn <= tf) & (tf >= 0.0) & (tn <= tub) & alive
         # ONE vector->scalar crossing: the child-hit bitmask.  The
         # cross-lane reduction rides the MXU as an [8,C]x[C,1] matvec
         # (a lane-dimension tree reduce on the VPU is ~7 shuffle steps).
@@ -376,6 +420,7 @@ def trace_closest_packets(
     kill_eps: float = 1e-3,
     packet_size: int = C,
     vmem_tables: bool | None = None,
+    slab_bf16: bool = False,
 ) -> WaveTraceResult:
     """Closest-hit / shadow traversal for N rays via packet DFS.
 
@@ -463,7 +508,7 @@ def trace_closest_packets(
     out = pl.pallas_call(
         functools.partial(
             _dfs_kernel, width=W, do_kill=do_kill, kill_eps=kill_eps,
-            C=C,
+            C=C, slab_bf16=slab_bf16,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, N), jnp.float32),

@@ -856,6 +856,7 @@ def trace_closest_wavefront(
     debug_levels: int = 0,
     debug_no_leaf: bool = False,
     debug_no_merge: bool = False,
+    compact: bool = False,
 ) -> WaveTraceResult:
     """Closest-hit traversal for N rays via the fused segment-major
     Pallas pipeline.  Exact-match semantics vs ops.traverse.trace_closest
@@ -863,6 +864,13 @@ def trace_closest_wavefront(
     early-terminate entries once any hit lands more than kill_eps short
     of the light — the reported t then still decides the reference pass
     condition ``t > maxT - eps`` (src/cudaRenderer.cu:1279) identically.
+
+    ``compact=True`` runs the live-lane partition kernel first
+    (ops/pallas/partition.py) and bounds the level-0 sweep by the live
+    count: with Russian roulette killing 75-90% of lanes at depth 2/3,
+    every downstream kernel sweep and the merge cascade scale with
+    liveness instead of N.  No inverse permutation is needed — the
+    merge scatters by the ray id carried in payload row 6.
     """
     bvh = scene.bvh
     sched = bvh.wf_sched
@@ -909,13 +917,21 @@ def trace_closest_wavefront(
     logcap = 2 * N
     logcols = logcap + C
 
+    if compact:
+        from .partition import compact_live_payload
+
+        payload, n_live = compact_live_payload(payload)
+        count0 = n_live.reshape(1)
+    else:
+        count0 = jnp.full((1,), N, jnp.int32)
+
     queue = payload  # level-0 queue: exactly the ray chunks
     log = jnp.zeros((LROWS, logcols), jnp.float32)
     cursor = jnp.zeros((1,), jnp.int32)
     dropped = jnp.int32(0)
 
     seg_base = jnp.zeros((1,), jnp.int32)
-    seg_count = jnp.full((1,), N, jnp.int32)
+    seg_count = count0
 
     for lvl, (seg_nodes, kind, pair, lstart, lcnt, forced) in enumerate(
         sched
@@ -996,34 +1012,63 @@ def trace_closest_wavefront(
         seg_count = count_next.astype(jnp.int32)
 
     # ---- deterministic merge of the hit log ----
-    if debug_no_merge:  # timing diagnostics only — wrong results
+    if debug_no_merge:  # timing diagnostics only — wrong results;
+        # `dropped` carries the used-entry cursor for instrumentation
         return WaveTraceResult(
             t=log[0, :N_in] + cursor[0].astype(jnp.float32),
             prim=log[1, :N_in].astype(jnp.int32),
-            dropped=dropped,
+            dropped=cursor[0],
         )
     used = jnp.minimum(cursor[0], logcap)
-    colid = jnp.arange(logcols, dtype=jnp.int32)
-    live = colid < used
-    t_flat = log[0]
-    p_flat = log[1]
-    r_flat = log[2]
-    ray_i = jnp.where(live, r_flat, 0.0).astype(jnp.int32)
-    ray_i = jnp.where(live, ray_i, N_in)
-    bits = _f2bits(jnp.where(live, t_flat, INF))
-    best_bits = jnp.full((N_in + 1,), _f2bits(INF), jnp.int32)
-    best_bits = best_bits.at[ray_i].min(bits, mode="drop")
-    win = live & (bits == best_bits[jnp.clip(ray_i, 0, N_in)])
-    tgt = jnp.where(win, ray_i, N_in)
-    # deterministic tie-break among bit-equal-t winners: max prim id
-    # (same convention as packet_dfs's leaf merge) — a plain .set would
-    # leave duplicate-index winners unspecified (shared-edge ties)
-    best_prim = jnp.full((N_in + 1,), -1, jnp.int32)
-    best_prim = best_prim.at[tgt].max(
-        jnp.where(win, p_flat.astype(jnp.int32), -1), mode="drop"
-    )
-    best_bits = best_bits[:N_in]
-    best_prim = best_prim[:N_in]
+
+    def merge_prefix(cols):
+        """Scatter-min merge over the first `cols` log columns (static);
+        correct whenever used <= cols since the log fills
+        front-to-back."""
+        lg = log[:, :cols]
+        colid = jnp.arange(cols, dtype=jnp.int32)
+        live = colid < used
+        t_flat = lg[0]
+        p_flat = lg[1]
+        r_flat = lg[2]
+        ray_i = jnp.where(live, r_flat, 0.0).astype(jnp.int32)
+        ray_i = jnp.where(live, ray_i, N_in)
+        bits = _f2bits(jnp.where(live, t_flat, INF))
+        best_bits = jnp.full((N_in + 1,), _f2bits(INF), jnp.int32)
+        best_bits = best_bits.at[ray_i].min(bits, mode="drop")
+        win = live & (bits == best_bits[jnp.clip(ray_i, 0, N_in)])
+        tgt = jnp.where(win, ray_i, N_in)
+        # deterministic tie-break among bit-equal-t winners: max prim
+        # id (same convention as packet_dfs's leaf merge) — a plain
+        # .set would leave duplicate-index winners unspecified
+        # (shared-edge ties)
+        best_prim = jnp.full((N_in + 1,), -1, jnp.int32)
+        best_prim = best_prim.at[tgt].max(
+            jnp.where(win, p_flat.astype(jnp.int32), -1), mode="drop"
+        )
+        return best_bits[:N_in], best_prim[:N_in]
+
+    # The scatter/gather cost of the merge is shape-static, but the log
+    # is mostly empty on thin passes (shadow kills, RR-compacted
+    # queues): cascade over power-of-4 prefixes so the common case
+    # only pays for the prefix that is actually occupied.
+    caps = []
+    cap = max(logcols // 64, C)
+    while cap < logcols:
+        caps.append(cap)
+        cap *= 4
+    caps.append(logcols)
+
+    def build(i):
+        if i == len(caps) - 1:
+            return lambda: merge_prefix(caps[i])
+        return lambda: jax.lax.cond(
+            used <= caps[i],
+            lambda: merge_prefix(caps[i]),
+            build(i + 1),
+        )
+
+    best_bits, best_prim = build(0)()
 
     return WaveTraceResult(
         t=jnp.where(best_prim >= 0, _bits2f(best_bits), INF),

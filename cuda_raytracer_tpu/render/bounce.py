@@ -69,11 +69,13 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False):
             # explicit traversal='dfs' keeps the same behavior
             return trace_closest_packets(
                 scene, o, d, valid, tl, kill_eps=cfg.shadow_eps,
-                packet_size=psize,
+                packet_size=psize, slab_bf16=cfg.slab_bf16,
             )
 
     elif kind == "pallas":
         from ..ops.pallas.wavefront2 import trace_closest_wavefront
+
+        do_compact = secondary and cfg.compact_secondary
 
         def trace(scene, o, d, valid, t_limit=None):
             # reference-compat shadow semantics need hits beyond maxT,
@@ -81,7 +83,7 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False):
             tl = None if cfg.reference_compat else t_limit
             return trace_closest_wavefront(
                 scene, o, d, valid, tl, cfg.queue_multiplier,
-                kill_eps=cfg.shadow_eps,
+                kill_eps=cfg.shadow_eps, compact=do_compact,
             )
 
     elif kind == "pallas1":

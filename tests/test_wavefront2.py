@@ -164,6 +164,55 @@ def test_shadow_rays_occlusion_decision(soup_scene):
     np.testing.assert_array_equal(got_pass, ref_pass)
 
 
+def test_compacted_matches_plain(soup_scene):
+    """compact=True (live-lane partition, dynamic level-0 count) must
+    give identical results: the merge scatters by ray id, so the
+    compacted queue needs no inverse permutation."""
+    o, d = random_rays(2 * wf2.CHUNK, seed=21, origin_box=3.0)
+    n = o.shape[0]
+    # kill an irregular 70% so live lanes straddle chunk boundaries
+    valid = jnp.asarray(
+        (np.arange(n) * 2654435761 % 97) < 30
+    )
+    a = wf2.trace_closest_wavefront(soup_scene, o, d, valid)
+    b = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, compact=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.prim), np.asarray(b.prim)
+    )
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    assert np.all(np.asarray(b.prim)[~np.asarray(valid)] == -1)
+
+
+def test_compacted_shadow_decision(soup_scene):
+    o, d = random_rays(wf2.CHUNK, seed=22, origin_box=3.0)
+    n = o.shape[0]
+    valid = jnp.asarray((np.arange(n) % 4) != 1)
+    full = trace_bruteforce(soup_scene, o, d, valid)
+    t_hit = jnp.where(full.prim >= 0, full.t, 2.0)
+    max_t = t_hit * jnp.where(jnp.arange(n) % 3 == 0, 0.5, 1.5)
+    a = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, t_limit=max_t
+    )
+    b = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, t_limit=max_t, compact=True
+    )
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(
+        np.asarray(a.prim), np.asarray(b.prim)
+    )
+
+
+def test_compact_all_dead(soup_scene):
+    o, d = random_rays(wf2.CHUNK, seed=23, origin_box=3.0)
+    valid = jnp.zeros((o.shape[0],), bool)
+    b = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, compact=True
+    )
+    assert np.all(np.asarray(b.prim) == -1)
+
+
 def test_tiny_scene_root_leaf():
     """Root-is-leaf scenes traverse through the virtual segment."""
     scene, _ = flatten_scene(

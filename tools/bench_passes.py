@@ -88,8 +88,18 @@ def capture_passes(cfg):
 def make_backend_fns(cfg, which):
     fns = {}
     for kind in which:
-        c2 = cfg.replace(traversal=kind)
-        tr = B.make_trace_fn(c2)
+        if kind == "pallasc":  # wavefront2 + live-lane compaction
+            from cuda_raytracer_tpu.ops.pallas.wavefront2 import (
+                trace_closest_wavefront,
+            )
+
+            def tr(scene, o, d, valid, t_limit=None):
+                return trace_closest_wavefront(
+                    scene, o, d, valid, t_limit, compact=True
+                )
+        else:
+            c2 = cfg.replace(traversal=kind, traversal_secondary="")
+            tr = B.make_trace_fn(c2)
         fns[kind] = (
             jax.jit(lambda s, o, d, v, tr=tr: tr(s, o, d, v)),
             jax.jit(lambda s, o, d, v, tl, tr=tr: tr(s, o, d, v, tl)),
@@ -149,6 +159,8 @@ def main():
     ap.add_argument("--backends", default="dfs,pallas")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--reorders", default="deadlast,binned")
+    ap.add_argument("--log-usage", action="store_true",
+                    help="print wavefront2 hit-log occupancy per pass")
     ap.add_argument("--tree-width", type=int, default=8)
     ap.add_argument("--max-leaf", type=int, default=16)
     args = ap.parse_args()
@@ -170,6 +182,19 @@ def main():
     print(f"\n=== per-pass x per-backend ({len(passes)} passes, "
           f"N={passes[0][1].shape[0]}) ===", flush=True)
     totals = {k: 0.0 for k in backends}
+    if args.log_usage:
+        from cuda_raytracer_tpu.ops.pallas.wavefront2 import (
+            trace_closest_wavefront,
+        )
+
+        fu = jax.jit(lambda s, o, d, v, tl: trace_closest_wavefront(
+            s, o, d, v, tl, debug_no_merge=True))
+        for label, o, d, valid, t_limit in passes:
+            n = o.shape[0]
+            used = int(fu(scene, o, d, valid, t_limit).dropped)
+            print(f"{label:14s}: log used {used} ({used/n:.2f} N)",
+                  flush=True)
+
     for label, o, d, valid, t_limit in passes:
         n = o.shape[0]
         live = int(jnp.sum(valid))
