@@ -73,7 +73,23 @@ def _partition_kernel(
         live = e[7:8, :] >= 0.0
         n = jnp.sum(live.astype(jnp.int32))
 
-        @pl.when(n > 0)
+        @pl.when(n == C)
+        def _():
+            # fully-live block (the common case before RR thins the
+            # population): skip the compaction network, just roll the
+            # whole block into the tail
+            padded = jnp.concatenate([e, jnp.zeros_like(e)], axis=1)
+            rolled = pltpu.roll(padded, tcnt, axis=1)
+            lane2 = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 2 * C), 1
+            )
+            sel = (lane2 >= tcnt) & (lane2 < tcnt + C)
+            tail[...] = jnp.where(
+                sel, rolled,
+                jnp.where(lane2 < tcnt, tail[...], 0.0),
+            )
+
+        @pl.when((n > 0) & (n < C))
         def _():
             _append_tail(tail, e, live, tcnt)
 

@@ -157,11 +157,53 @@ def _append_tail(tail_ref, data, mask, tcnt):
 # ---------------------------------------------------------------------------
 
 
-def _box_terms(box, o_x, o_y, o_z, inv_x, inv_y, inv_z):
+def _box_terms(box, o_x, o_y, o_z, inv_x, inv_y, inv_z, bf16=False):
     """Slab test terms for one child box against a chunk of rays.
     Semantics of intersectBBox (src/cudaRenderer.cu:154-207): entry t
-    gated later by the carried bound; origin-inside always enters."""
+    gated later by the carried bound; origin-inside always enters.
+
+    ``bf16=True`` does the multiplies in bfloat16 (2x VPU throughput on
+    the dominant per-visit arithmetic) with conservative widening, the
+    same recipe as packet_dfs's slab_bf16: differences in f32 first (no
+    cancellation blowup), then a relative margin + absolute pad shrinks
+    tnear / grows tfar, so the mask only gains false POSITIVES — extra
+    queue pushes, never a lost hit; leaf prim tests stay exact f32."""
     mnx, mny, mnz, mxx, mxy, mxz = box
+    if bf16:
+        bf = jnp.bfloat16
+        ib_x, ib_y, ib_z = (
+            inv_x.astype(bf), inv_y.astype(bf), inv_z.astype(bf)
+        )
+        t0x = (mnx - o_x).astype(bf) * ib_x
+        t1x = (mxx - o_x).astype(bf) * ib_x
+        t0y = (mny - o_y).astype(bf) * ib_y
+        t1y = (mxy - o_y).astype(bf) * ib_y
+        t0z = (mnz - o_z).astype(bf) * ib_z
+        t1z = (mxz - o_z).astype(bf) * ib_z
+        tn_b = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf_b = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        eps = bf(0.02)  # >= a few 2^-8 relative roundings
+        pad = bf(1e-3)  # absolute floor for |t| ~ 0
+        tnear = tn_b - jnp.abs(tn_b) * eps - pad
+        tfar = tf_b + jnp.abs(tf_b) * eps + pad
+        inside = (
+            (o_x >= mnx)
+            & (o_x <= mxx)
+            & (o_y >= mny)
+            & (o_y <= mxy)
+            & (o_z >= mnz)
+            & (o_z <= mxz)
+        )
+        slab_ok = (tnear <= tfar) & (tfar >= bf(0.0))
+        # callers compare tnear against the f32 carried bound; the
+        # under-estimated bf16 tnear promotes losslessly to f32
+        return slab_ok, tnear.astype(jnp.float32), inside
     t0x = (mnx - o_x) * inv_x
     t1x = (mxx - o_x) * inv_x
     t0y = (mny - o_y) * inv_y
@@ -211,6 +253,7 @@ def _count_kernel(
     sem,
     *,
     width: int,
+    box_bf16: bool,
 ):
     C = CHUNK
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
@@ -271,7 +314,8 @@ def _count_kernel(
                 new_accs = []
                 for w in range(width):
                     slab_ok, tnear, inside = _box_terms(
-                        boxes[w], o_x, o_y, o_z, inv_x, inv_y, inv_z
+                        boxes[w], o_x, o_y, o_z, inv_x, inv_y, inv_z,
+                        bf16=box_bf16,
                     )
                     m = (
                         ((slab_ok & (tnear <= tub)) | inside)
@@ -349,6 +393,7 @@ def _pack_kernel(
     do_kill: bool,
     kill_eps: float,
     logcap: int,
+    box_bf16: bool,
 ):
     C = CHUNK
     W = width
@@ -445,7 +490,8 @@ def _pack_kernel(
                 cache = []
                 for w in range(W):
                     slab_ok, tnear, inside = _box_terms(
-                        boxes[w], o_x, o_y, o_z, inv_x, inv_y, inv_z
+                        boxes[w], o_x, o_y, o_z, inv_x, inv_y, inv_z,
+                        bf16=box_bf16,
                     )
                     cache.append((slab_ok, tnear, inside))
                     kind_w = ckind[s * W + w]
@@ -764,7 +810,7 @@ _INTERPRET = False  # flipped by tests for CPU runs
 
 
 def _run_count(queue, node_packed, seg_node, seg_base, seg_count, cmask,
-               nsegs, width: int):
+               nsegs, width: int, box_bf16: bool = False):
     Sp = seg_node.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -778,7 +824,8 @@ def _run_count(queue, node_packed, seg_node, seg_base, seg_count, cmask,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_count_kernel, width=width),
+        functools.partial(_count_kernel, width=width,
+                          box_bf16=box_bf16),
         out_shape=jax.ShapeDtypeStruct((Sp, 128), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -790,7 +837,7 @@ def _run_pack(queue_in, node_packed, prim_packed, log_in,
               seg_node, seg_base, seg_count, cdest, ckind, clstart, clcnt,
               cforce, cursor, nsegs,
               width: int, k8: int, cols_out: int, do_kill: bool,
-              kill_eps: float, logcap: int):
+              kill_eps: float, logcap: int, box_bf16: bool = False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,
         grid=(1,),
@@ -817,7 +864,7 @@ def _run_pack(queue_in, node_packed, prim_packed, log_in,
     return pl.pallas_call(
         functools.partial(
             _pack_kernel, width=width, k8=k8, do_kill=do_kill,
-            kill_eps=kill_eps, logcap=logcap,
+            kill_eps=kill_eps, logcap=logcap, box_bf16=box_bf16,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((ROWS, cols_out), jnp.float32),
@@ -857,6 +904,8 @@ def trace_closest_wavefront(
     debug_no_leaf: bool = False,
     debug_no_merge: bool = False,
     compact: bool = False,
+    merge_cascade: bool = True,
+    box_bf16: bool = False,
 ) -> WaveTraceResult:
     """Closest-hit traversal for N rays via the fused segment-major
     Pallas pipeline.  Exact-match semantics vs ops.traverse.trace_closest
@@ -965,7 +1014,7 @@ def trace_closest_wavefront(
             )
             counts = _run_count(
                 queue, bvh.node_packed, seg_node_a, seg_base_p,
-                seg_count_p, cmask_a, nsegs_a, W,
+                seg_count_p, cmask_a, nsegs_a, W, box_bf16,
             )
             counts_flat = counts[:S, :W].reshape(-1).astype(jnp.int32)
             pair_np = np.asarray(pair, np.int32)
@@ -1000,7 +1049,7 @@ def trace_closest_wavefront(
             queue, bvh.node_packed, scene.prim_packed, log,
             seg_node_a, seg_base_p, seg_count_p, cdest_a, ckind_a,
             clstart_a, clcnt_a, cforce_a, cursor, nsegs_a,
-            W, k8, cols_out, do_kill, kill_eps, logcap,
+            W, k8, cols_out, do_kill, kill_eps, logcap, box_bf16,
         )
         cursor = currow[0, 0].reshape(1)
         dropped = dropped + currow[0, 1]
@@ -1050,25 +1099,25 @@ def trace_closest_wavefront(
 
     # The scatter/gather cost of the merge is shape-static, but the log
     # is mostly empty on thin passes (shadow kills, RR-compacted
-    # queues): cascade over power-of-4 prefixes so the common case
-    # only pays for the prefix that is actually occupied.
-    caps = []
-    cap = max(logcols // 64, C)
-    while cap < logcols:
-        caps.append(cap)
-        cap *= 4
-    caps.append(logcols)
-
-    def build(i):
-        if i == len(caps) - 1:
-            return lambda: merge_prefix(caps[i])
-        return lambda: jax.lax.cond(
-            used <= caps[i],
-            lambda: merge_prefix(caps[i]),
-            build(i + 1),
+    # queues): switch over power-of-4 prefixes so the common case only
+    # pays for the prefix that is actually occupied.  One lax.switch
+    # (not a cond chain — every conditional costs ~2 dispatch round
+    # trips through this runtime, ~50 ms).
+    if merge_cascade:
+        caps = []
+        cap = max(logcols // 64, C)
+        while cap < logcols:
+            caps.append(cap)
+            cap *= 4
+        caps.append(logcols)
+        idx = jnp.int32(0)
+        for capv in caps[:-1]:
+            idx = idx + (used > capv).astype(jnp.int32)
+        best_bits, best_prim = jax.lax.switch(
+            idx, [lambda c=c: merge_prefix(c) for c in caps]
         )
-
-    best_bits, best_prim = build(0)()
+    else:
+        best_bits, best_prim = merge_prefix(logcols)
 
     return WaveTraceResult(
         t=jnp.where(best_prim >= 0, _bits2f(best_bits), INF),

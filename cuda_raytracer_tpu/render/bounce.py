@@ -24,7 +24,8 @@ from ..ops.traverse import trace_closest
 from ..render.flatscene import FlatScene
 
 
-def make_trace_fn(cfg: RenderConfig, secondary: bool = False):
+def make_trace_fn(cfg: RenderConfig, secondary: bool = False,
+                  compact: bool = False):
     """Traversal backend selected by cfg.traversal (or, for bounce and
     depth>0 shadow passes, cfg.traversal_secondary when set):
 
@@ -75,7 +76,10 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False):
     elif kind == "pallas":
         from ..ops.pallas.wavefront2 import trace_closest_wavefront
 
-        do_compact = secondary and cfg.compact_secondary
+        # the partition sweep costs ~40 ns per live lane, so compaction
+        # only pays on RR-thinned populations — the caller passes
+        # compact=True for depths past rr_start_depth
+        do_compact = compact and cfg.compact_secondary
 
         def trace(scene, o, d, valid, t_limit=None):
             # reference-compat shadow semantics need hits beyond maxT,
@@ -84,6 +88,7 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False):
             return trace_closest_wavefront(
                 scene, o, d, valid, tl, cfg.queue_multiplier,
                 kill_eps=cfg.shadow_eps, compact=do_compact,
+                box_bf16=cfg.slab_bf16,
             )
 
     elif kind == "pallas1":
@@ -114,6 +119,9 @@ def make_stage_fns(cfg: RenderConfig):
     trace_secondary = trace if same_secondary else make_trace_fn(
         cfg, secondary=True
     )
+    trace_secondary_compact = make_trace_fn(
+        cfg, secondary=True, compact=True
+    ) if cfg.compact_secondary else trace_secondary
 
     def shade_hit(scene, o, d, t, prim, valid, importance, light,
                   count_emission):
@@ -150,6 +158,7 @@ def make_stage_fns(cfg: RenderConfig):
     return {
         "trace": trace,
         "trace_secondary": trace_secondary,
+        "trace_secondary_compact": trace_secondary_compact,
         "shade_hit": shade_hit,
         "nee_prep": nee_prep,
         "nee_accum": nee_accum,
@@ -221,10 +230,18 @@ def run_depth(J, cfg: RenderConfig, scene: FlatScene, carry, key, depth):
     schedule = list(cfg.nee_schedule)
     # depth 0 traces camera rays and camera-hit shadow rays (coherent);
     # every depth>0 pass traces scattered rays (incoherent) and may use
-    # a different backend / packet size (cfg.traversal_secondary)
-    tr = J["trace"] if depth == 0 else J.get(
-        "trace_secondary", J["trace"]
-    )
+    # a different backend / packet size (cfg.traversal_secondary).
+    # Past rr_start_depth the population is RR-thinned (25%/11% live at
+    # depths 2/3), where the live-lane compaction sweep pays for itself
+    if depth == 0:
+        tr = J["trace"]
+    elif cfg.rr_start_depth and depth >= cfg.rr_start_depth:
+        tr = J.get(
+            "trace_secondary_compact",
+            J.get("trace_secondary", J["trace"]),
+        )
+    else:
+        tr = J.get("trace_secondary", J["trace"])
     res = tr(scene, o, d, valid)
     dropped = dropped + res.dropped
     hit, light = J["shade_hit"](

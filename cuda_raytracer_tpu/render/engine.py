@@ -237,6 +237,9 @@ class WavefrontRenderer:
                 "raygen": jax.jit(raygen),
                 "trace": jax.jit(stages["trace"]),
                 "trace_secondary": jax.jit(stages["trace_secondary"]),
+                "trace_secondary_compact": jax.jit(
+                    stages["trace_secondary_compact"]
+                ),
                 "shade_hit": jax.jit(stages["shade_hit"]),
                 "nee_prep": jax.jit(stages["nee_prep"],
                                     static_argnums=(4, 5)),

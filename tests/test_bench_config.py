@@ -133,3 +133,55 @@ def test_per_pass_backend_split_matches_single_backend():
     a.render()
     b.render()
     np.testing.assert_array_equal(a.get_raw_image(), b.get_raw_image())
+
+
+def test_compact_trace_selected_only_at_rr_depths():
+    """run_depth must route depth>=rr_start_depth traversals through
+    the compacted secondary trace (the partition sweep only pays on
+    RR-thinned populations) and every other pass through the plain
+    ones."""
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_raytracer_tpu.render import bounce as B
+
+    cfg = RenderConfig(width=16, height=8, samples_per_frame=1,
+                       max_depth=4, rr_start_depth=2,
+                       nee_schedule=((1, 1.0),) * 4, traversal="xla")
+    r = renderer(width=16, height=8, samples_per_frame=1,
+                 max_depth=4, rr_start_depth=2,
+                 nee_schedule=((1, 1.0),) * 4, traversal="xla")
+    scene = r.scene
+    stages = B.make_stage_fns(cfg)
+    calls = []
+
+    def wrap(tag, fn):
+        def f(*a, **kw):
+            calls.append(tag)
+            return fn(*a, **kw)
+        return f
+
+    J = dict(
+        stages,
+        trace=wrap("primary", stages["trace"]),
+        trace_secondary=wrap("secondary", stages["trace_secondary"]),
+        trace_secondary_compact=wrap(
+            "compact", stages["trace_secondary_compact"]
+        ),
+    )
+    key = jax.random.PRNGKey(0)
+    n = 16 * 8
+    o = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(2.5)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
+    carry = (o, d, jnp.ones((n,), bool), jnp.ones((n, 3), jnp.float32),
+             jnp.zeros((n, 3), jnp.float32), jnp.ones((n,), bool),
+             jnp.int32(0))
+    per_depth = []
+    for depth in range(cfg.max_depth):
+        calls.clear()
+        carry = B.run_depth(J, cfg, scene, carry, key, depth)
+        per_depth.append(set(calls))
+    assert per_depth[0] == {"primary"}
+    assert per_depth[1] == {"secondary"}
+    assert per_depth[2] == {"compact"}
+    assert per_depth[3] == {"compact"}

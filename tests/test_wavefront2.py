@@ -222,3 +222,38 @@ def test_tiny_scene_root_leaf():
     assert scene.bvh.root_is_leaf
     o, d = _camera_rays(wf2.CHUNK, key=2)
     check_match(scene, o, d)
+
+
+def test_box_bf16_identical_results(soup_scene):
+    """bf16 box tests with conservative widening may only ADD queue
+    pushes (false positives); the exact f32 leaf tests then produce
+    bit-identical hits."""
+    o, d = random_rays(2 * wf2.CHUNK, seed=31, origin_box=3.0)
+    valid = jnp.ones((o.shape[0],), bool)
+    a = wf2.trace_closest_wavefront(soup_scene, o, d, valid)
+    b = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, box_bf16=True
+    )
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(
+        np.asarray(a.prim), np.asarray(b.prim)
+    )
+
+
+def test_box_bf16_shadow_decision(soup_scene):
+    o, d = random_rays(wf2.CHUNK, seed=32, origin_box=3.0)
+    n = o.shape[0]
+    valid = jnp.asarray((np.arange(n) % 5) != 2)
+    full = trace_bruteforce(soup_scene, o, d, valid)
+    t_hit = jnp.where(full.prim >= 0, full.t, 2.0)
+    max_t = t_hit * jnp.where(jnp.arange(n) % 3 == 0, 0.5, 1.5)
+    a = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, t_limit=max_t
+    )
+    b = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, t_limit=max_t, box_bf16=True
+    )
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(
+        np.asarray(a.prim), np.asarray(b.prim)
+    )

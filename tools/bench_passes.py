@@ -57,7 +57,8 @@ def capture_passes(cfg):
         depth_state["k"] += 1
         return real_trace(scene, o, d, valid, t_limit)
 
-    stages = dict(stages, trace=rec_trace, trace_secondary=rec_trace)
+    stages = dict(stages, trace=rec_trace, trace_secondary=rec_trace,
+                  trace_secondary_compact=rec_trace)
 
     key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 0)
     cam = r._camera_arrays()
@@ -88,15 +89,26 @@ def capture_passes(cfg):
 def make_backend_fns(cfg, which):
     fns = {}
     for kind in which:
-        if kind == "pallasc":  # wavefront2 + live-lane compaction
+        if kind in ("pallasc", "pallascas", "pallasbf"):
+            # pallasc   = wavefront2 + live-lane compaction (+cascade)
+            # pallascas = wavefront2 + cascade merge, NO compaction —
+            #             isolates the switch cost on full passes
+            # pallasbf  = wavefront2 + bf16 box tests, plain merge
             from cuda_raytracer_tpu.ops.pallas.wavefront2 import (
                 trace_closest_wavefront,
             )
 
-            def tr(scene, o, d, valid, t_limit=None):
+            def tr(scene, o, d, valid, t_limit=None, kind=kind):
                 return trace_closest_wavefront(
-                    scene, o, d, valid, t_limit, compact=True
+                    scene, o, d, valid, t_limit,
+                    compact=kind == "pallasc",
+                    merge_cascade=kind in ("pallasc", "pallascas"),
+                    box_bf16=kind == "pallasbf",
                 )
+        elif kind == "dfsbf":  # packet-DFS + bf16 slab tests
+            c2 = cfg.replace(traversal="dfs", traversal_secondary="",
+                             slab_bf16=True)
+            tr = B.make_trace_fn(c2)
         else:
             c2 = cfg.replace(traversal=kind, traversal_secondary="")
             tr = B.make_trace_fn(c2)
