@@ -906,6 +906,10 @@ def trace_closest_wavefront(
     compact: bool = False,
     merge_cascade: bool = True,
     box_bf16: bool = False,
+    debug_merge_cols: int = 0,
+    debug_double_count: bool = False,
+    debug_merge_branch: bool = False,
+    want_prim: bool = True,
 ) -> WaveTraceResult:
     """Closest-hit traversal for N rays via the fused segment-major
     Pallas pipeline.  Exact-match semantics vs ops.traverse.trace_closest
@@ -1016,6 +1020,15 @@ def trace_closest_wavefront(
                 queue, bvh.node_packed, seg_node_a, seg_base_p,
                 seg_count_p, cmask_a, nsegs_a, W, box_bf16,
             )
+            if debug_double_count:
+                # timing diagnostics: a second (side-effectful, so not
+                # DCE'd) count sweep — its delta vs a normal run is the
+                # count kernel's share of the level loop
+                counts2 = _run_count(
+                    queue, bvh.node_packed, seg_node_a, seg_base_p,
+                    seg_count_p, cmask_a, nsegs_a, W, box_bf16,
+                )
+                counts = jnp.maximum(counts, counts2)
             counts_flat = counts[:S, :W].reshape(-1).astype(jnp.int32)
             pair_np = np.asarray(pair, np.int32)
             S_next = len(sched[lvl + 1][0])
@@ -1073,7 +1086,9 @@ def trace_closest_wavefront(
     def merge_prefix(cols):
         """Scatter-min merge over the first `cols` log columns (static);
         correct whenever used <= cols since the log fills
-        front-to-back."""
+        front-to-back.  With want_prim=False only the min-t scatter
+        runs (1 linear pass instead of 3) — enough for shadow passes,
+        whose only consumer is the ``t > maxT - eps`` comparison."""
         lg = log[:, :cols]
         colid = jnp.arange(cols, dtype=jnp.int32)
         live = colid < used
@@ -1085,6 +1100,8 @@ def trace_closest_wavefront(
         bits = _f2bits(jnp.where(live, t_flat, INF))
         best_bits = jnp.full((N_in + 1,), _f2bits(INF), jnp.int32)
         best_bits = best_bits.at[ray_i].min(bits, mode="drop")
+        if not want_prim:
+            return best_bits[:N_in], None
         win = live & (bits == best_bits[jnp.clip(ray_i, 0, N_in)])
         tgt = jnp.where(win, ray_i, N_in)
         # deterministic tie-break among bit-equal-t winners: max prim
@@ -1099,16 +1116,20 @@ def trace_closest_wavefront(
 
     # The scatter/gather cost of the merge is shape-static, but the log
     # is mostly empty on thin passes (shadow kills, RR-compacted
-    # queues): switch over power-of-4 prefixes so the common case only
+    # queues): switch over power-of-2 prefixes so the common case only
     # pays for the prefix that is actually occupied.  One lax.switch
     # (not a cond chain — every conditional costs ~2 dispatch round
     # trips through this runtime, ~50 ms).
-    if merge_cascade:
+    if debug_merge_cols:  # timing diagnostics: force a static prefix
+        best_bits, best_prim = merge_prefix(
+            min(debug_merge_cols, logcols)
+        )
+    elif merge_cascade:
         caps = []
         cap = max(logcols // 64, C)
         while cap < logcols:
             caps.append(cap)
-            cap *= 4
+            cap *= 2
         caps.append(logcols)
         idx = jnp.int32(0)
         for capv in caps[:-1]:
@@ -1116,11 +1137,29 @@ def trace_closest_wavefront(
         best_bits, best_prim = jax.lax.switch(
             idx, [lambda c=c: merge_prefix(c) for c in caps]
         )
+        if debug_merge_branch:
+            return WaveTraceResult(
+                t=jnp.where(best_prim >= 0, _bits2f(best_bits), INF)
+                if best_prim is not None else _bits2f(best_bits),
+                prim=best_prim if best_prim is not None
+                else jnp.zeros((N_in,), jnp.int32),
+                dropped=idx * jnp.int32(100_000_000) + used,
+            )
     else:
         best_bits, best_prim = merge_prefix(logcols)
 
+    if want_prim:
+        return WaveTraceResult(
+            t=jnp.where(best_prim >= 0, _bits2f(best_bits), INF),
+            prim=best_prim,
+            dropped=dropped,
+        )
+    # lite result: exact min t (INF on miss, since log t entries are
+    # finite and positive-float bit order is monotone); prim ids were
+    # never merged — mark hits -2 so misuse is loud
+    hit = best_bits < _f2bits(INF)
     return WaveTraceResult(
-        t=jnp.where(best_prim >= 0, _bits2f(best_bits), INF),
-        prim=best_prim,
+        t=_bits2f(best_bits),
+        prim=jnp.where(hit, -2, -1),
         dropped=dropped,
     )

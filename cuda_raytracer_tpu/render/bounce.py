@@ -89,6 +89,10 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False,
                 scene, o, d, valid, tl, cfg.queue_multiplier,
                 kill_eps=cfg.shadow_eps, compact=do_compact,
                 box_bf16=cfg.slab_bf16,
+                # shadow passes only consume the t > maxT - eps
+                # comparison (nee_accum), so skip the prim merge —
+                # 1 linear scatter pass instead of 3
+                want_prim=tl is None,
             )
 
     elif kind == "pallas1":

@@ -257,3 +257,25 @@ def test_box_bf16_shadow_decision(soup_scene):
     np.testing.assert_array_equal(
         np.asarray(a.prim), np.asarray(b.prim)
     )
+
+
+def test_want_prim_false_same_t(soup_scene):
+    """The lite merge (shadow passes: min-t scatter only) must produce
+    the exact same t as the full merge; prim is -2 on hits, -1 on
+    misses."""
+    o, d = random_rays(wf2.CHUNK, seed=33, origin_box=3.0)
+    n = o.shape[0]
+    valid = jnp.asarray((np.arange(n) % 7) != 3)
+    full = trace_bruteforce(soup_scene, o, d, valid)
+    t_hit = jnp.where(full.prim >= 0, full.t, 2.0)
+    max_t = t_hit * jnp.where(jnp.arange(n) % 3 == 0, 0.5, 1.5)
+    a = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, t_limit=max_t
+    )
+    b = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, t_limit=max_t, want_prim=False
+    )
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    pa, pb = np.asarray(a.prim), np.asarray(b.prim)
+    np.testing.assert_array_equal(pa >= 0, pb == -2)
+    np.testing.assert_array_equal(pa < 0, pb == -1)

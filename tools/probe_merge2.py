@@ -59,6 +59,12 @@ def main():
         "kernels-only": dict(debug_no_merge=True),
         "cascade": dict(merge_cascade=True),
         "full-merge": dict(merge_cascade=False),
+        "forced-960k": dict(debug_merge_cols=960064),
+        "forced-3.84M": dict(debug_merge_cols=3840256),
+        "forced-7.7M": dict(debug_merge_cols=7680512),
+        "lite-cascade": dict(want_prim=False),
+        "double-count": dict(debug_double_count=True),
+        "lite-3.84M": dict(want_prim=False, debug_merge_cols=3840256),
     }
     for label, o, d, valid, t_limit in passes:
         if label not in want:
