@@ -360,6 +360,9 @@ def _pack_kernel(
     clstart,
     clcnt,
     cforce,
+    cgc,  # [Sp*W] fused next-level counting: 0 = off, else
+    #       (1 << 8) | grandchild-counted bitmask (bit w' set when the
+    #       next level's count mask has child w' of this child's node)
     cursor_in,  # [1] element cursor into the hit log
     nsegs,
     # inputs
@@ -371,9 +374,14 @@ def _pack_kernel(
     queue_out,
     log_out,
     cur_out,  # [1, 2] i32 SMEM: cursor, dropped
+    gc_ref,  # [Sp, 128] f32: lane w*W+w' = appended entries of child w
+    #         entering grandchild w' — the next level's count matrix,
+    #         computed while the entries are still in VMEM (replaces a
+    #         full count-kernel HBM sweep per level)
     # scratch
     ebuf,
     nrow,
+    crow,  # [W, 1, 128] child node rows for grandchild box tests
     pbuf,  # [W, K8, 128]
     tails,  # [W, 8, 2C]
     ltail,  # [4, 2C]
@@ -383,6 +391,7 @@ def _pack_kernel(
     prunbuf,  # [1, C]
     qsem,
     nsem,
+    csem,
     psem,
     fsem,
     lfsem,
@@ -394,11 +403,14 @@ def _pack_kernel(
     kill_eps: float,
     logcap: int,
     box_bf16: bool,
+    fused_gc: bool,
 ):
     C = CHUNK
     W = width
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     krow = jax.lax.broadcasted_iota(jnp.int32, (k8, 1), 0)
+    gc_ref[...] = jnp.zeros_like(gc_ref)
 
     # -- log tail resume: preload the partial chunk at the cursor --
     # All queue/log offsets are carried in CHUNK units and multiplied by
@@ -457,12 +469,37 @@ def _pack_kernel(
                     nrow[0, 3 * W + 3 * w + 2],
                 ))
             outlets = [nrow[0, 6 * W + w] for w in range(W)]
+            # fused next-level counting: fetch each inner child's node
+            # row once per segment (the grandchild boxes), latency
+            # overlapped across the W starts
+            if fused_gc:
+                for w in range(W):
+                    @pl.when(cgc[s * W + w] > 0)
+                    def _(w=w):
+                        child = jnp.maximum(
+                            outlets[w].astype(jnp.int32), 0
+                        )
+                        pltpu.make_async_copy(
+                            node_packed.at[pl.ds(child, 1), :],
+                            crow.at[w], csem.at[w],
+                        ).start()
+                for w in range(W):
+                    @pl.when(cgc[s * W + w] > 0)
+                    def _(w=w):
+                        child = jnp.maximum(
+                            outlets[w].astype(jnp.int32), 0
+                        )
+                        pltpu.make_async_copy(
+                            node_packed.at[pl.ds(child, 1), :],
+                            crow.at[w], csem.at[w],
+                        ).wait()
 
             def chunk_body(c, ch):
                 (ltcnt, log_chunk, ldrop, lfchunk) = ch[0:4]
                 fchunks = list(ch[4:4 + W])
-                tcs = list(ch[4 + W:4 + 2 * W])
-                fls = list(ch[4 + 2 * W:4 + 3 * W])
+                gcacc = ch[4 + W]
+                tcs = list(ch[5 + W:5 + 2 * W])
+                fls = list(ch[5 + 2 * W:5 + 3 * W])
                 slot = jax.lax.rem(c, 2)
 
                 @pl.when(c + 1 < nchunks)
@@ -667,6 +704,47 @@ def _pack_kernel(
                     n_w = jnp.sum(m_in.astype(jnp.int32))
                     active = (dest_w >= 0) & (n_w > 0)
 
+                    # ---- fused next-level counting: while the entries
+                    # bound for child w are in registers, test them
+                    # against the child's own child boxes — exactly the
+                    # mask the count kernel would compute at the next
+                    # level (same _box_terms arithmetic on the same
+                    # stored o/d/tub values), minus its full HBM sweep
+                    if fused_gc:
+                        gflag = cgc[s * W + w]
+                        gc_on = (gflag > 0) & (dest_w >= 0)
+                        for w2 in range(W):
+                            gbox = (
+                                crow[w, 0, 3 * w2 + 0],
+                                crow[w, 0, 3 * w2 + 1],
+                                crow[w, 0, 3 * w2 + 2],
+                                crow[w, 0, 3 * W + 3 * w2 + 0],
+                                crow[w, 0, 3 * W + 3 * w2 + 1],
+                                crow[w, 0, 3 * W + 3 * w2 + 2],
+                            )
+                            slab_g, tn_g, ins_g = _box_terms(
+                                gbox, o_x, o_y, o_z,
+                                inv_x, inv_y, inv_z,
+                                bf16=box_bf16,
+                            )
+                            goutlet = crow[w, 0, 6 * W + w2]
+                            m_gc = (
+                                ((slab_g & (tn_g <= tub_out)) | ins_g)
+                                & (tub_out >= 0.0)
+                                & m_in
+                                & (goutlet >= 0.0)
+                            )
+                            counted = ((gflag >> w2) & 1) > 0
+                            add = jnp.where(
+                                gc_on & counted,
+                                jnp.sum(m_gc.astype(jnp.float32)),
+                                0.0,
+                            )
+                            gcacc = jnp.where(
+                                lane128 == w * W + w2, gcacc + add,
+                                gcacc
+                            )
+
                     @pl.when(active)
                     def _(w=w, m_in=m_in, tub_out=tub_out):
                         rowid = jax.lax.broadcasted_iota(
@@ -708,19 +786,21 @@ def _pack_kernel(
                     fls[w] = fls[w] + jnp.where(flush_w, 1, 0)
                     tcs[w] = tc - jnp.where(flush_w, C, 0)
 
-                return (ltcnt, log_chunk, ldrop, lfchunk, *fchunks, *tcs,
-                        *fls)
+                return (ltcnt, log_chunk, ldrop, lfchunk, *fchunks,
+                        gcacc, *tcs, *fls)
 
             ch0 = (
                 ltcnt, log_chunk, ldrop, lfchunk, *fchunks,
+                jnp.zeros((1, 128), jnp.float32),  # gc accumulator
                 *([jnp.int32(0)] * W),  # tail counts
                 *([jnp.int32(0)] * W),  # flushed chunks
             )
             ch = jax.lax.fori_loop(0, nchunks, chunk_body, ch0)
             (ltcnt, log_chunk, ldrop, lfchunk) = ch[0:4]
             fchunks = list(ch[4:4 + W])
-            tcs = list(ch[4 + W:4 + 2 * W])
-            fls = list(ch[4 + 2 * W:4 + 3 * W])
+            gc_ref[pl.ds(s, 1), :] = ch[4 + W]
+            tcs = list(ch[5 + W:5 + 2 * W])
+            fls = list(ch[5 + 2 * W:5 + 3 * W])
 
             # final partial flush per child (full-CHUNK write; regions
             # are CHUNK-granular so this never crosses into a neighbor)
@@ -835,17 +915,20 @@ def _run_count(queue, node_packed, seg_node, seg_base, seg_count, cmask,
 
 def _run_pack(queue_in, node_packed, prim_packed, log_in,
               seg_node, seg_base, seg_count, cdest, ckind, clstart, clcnt,
-              cforce, cursor, nsegs,
+              cforce, cgc, cursor, nsegs,
               width: int, k8: int, cols_out: int, do_kill: bool,
-              kill_eps: float, logcap: int, box_bf16: bool = False):
+              kill_eps: float, logcap: int, box_bf16: bool = False,
+              fused_gc: bool = False):
+    Sp = seg_node.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
+        num_scalar_prefetch=11,
         grid=(1,),
         in_specs=[_HBM(), _ANY(), _ANY(), _HBM()],
-        out_specs=(_HBM(), _HBM(), _SMEM()),
+        out_specs=(_HBM(), _HBM(), _SMEM(), _VMEM()),
         scratch_shapes=[
             pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((width, 1, 128), jnp.float32),
             pltpu.VMEM((width, k8, 128), jnp.float32),
             pltpu.VMEM((width, ROWS, 2 * CHUNK), jnp.float32),
             pltpu.VMEM((LROWS, 2 * CHUNK), jnp.float32),
@@ -857,6 +940,7 @@ def _run_pack(queue_in, node_packed, prim_packed, log_in,
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((width,)),
             pltpu.SemaphoreType.DMA((width,)),
+            pltpu.SemaphoreType.DMA((width,)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -865,20 +949,22 @@ def _run_pack(queue_in, node_packed, prim_packed, log_in,
         functools.partial(
             _pack_kernel, width=width, k8=k8, do_kill=do_kill,
             kill_eps=kill_eps, logcap=logcap, box_bf16=box_bf16,
+            fused_gc=fused_gc,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((ROWS, cols_out), jnp.float32),
             jax.ShapeDtypeStruct(log_in.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((Sp, 128), jnp.float32),
         ),
         grid_spec=grid_spec,
-        # operand 13 = log_in (10 scalars + queue, node, prim), aliased
+        # operand 14 = log_in (11 scalars + queue, node, prim), aliased
         # to output 1 so the hit log accumulates across levels
-        input_output_aliases={13: 1},
+        input_output_aliases={14: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_INTERPRET,
     )(seg_node, seg_base, seg_count, cdest, ckind, clstart, clcnt, cforce,
-      cursor, nsegs, queue_in, node_packed, prim_packed, log_in)
+      cgc, cursor, nsegs, queue_in, node_packed, prim_packed, log_in)
 
 
 # ---------------------------------------------------------------------------
@@ -910,6 +996,7 @@ def trace_closest_wavefront(
     debug_double_count: bool = False,
     debug_merge_branch: bool = False,
     want_prim: bool = True,
+    fused_counts: bool = True,
 ) -> WaveTraceResult:
     """Closest-hit traversal for N rays via the fused segment-major
     Pallas pipeline.  Exact-match semantics vs ops.traverse.trace_closest
@@ -985,6 +1072,7 @@ def trace_closest_wavefront(
 
     seg_base = jnp.zeros((1,), jnp.int32)
     seg_count = count0
+    gc_prev = None
 
     for lvl, (seg_nodes, kind, pair, lstart, lcnt, forced) in enumerate(
         sched
@@ -1016,20 +1104,38 @@ def trace_closest_wavefront(
             cmask_a = pad_i32(
                 [1 if k == 1 else 0 for k in kind], 0, SWp
             )
-            counts = _run_count(
-                queue, bvh.node_packed, seg_node_a, seg_base_p,
-                seg_count_p, cmask_a, nsegs_a, W, box_bf16,
-            )
-            if debug_double_count:
-                # timing diagnostics: a second (side-effectful, so not
-                # DCE'd) count sweep — its delta vs a normal run is the
-                # count kernel's share of the level loop
-                counts2 = _run_count(
+            if gc_prev is not None:
+                # counts for this level were produced by the PREVIOUS
+                # pack's fused grandchild counting — no HBM count sweep.
+                # gc_prev[s, w*W + w'] = entries appended to child
+                # (s, w) entering its child w'; segment c's parent slot
+                # is host-known from the previous level's pair map
+                prev_pair, prev_Sp = gc_prev[1], gc_prev[2]
+                inv = np.zeros((S,), np.int64)
+                for idx, c in enumerate(prev_pair):
+                    if 0 <= c < S:
+                        inv[c] = idx
+                arr = gc_prev[0][:, :W * W].reshape(prev_Sp * W, W)
+                counts_flat = (
+                    arr[jnp.asarray(inv)].reshape(-1).astype(jnp.int32)
+                )
+            else:
+                counts = _run_count(
                     queue, bvh.node_packed, seg_node_a, seg_base_p,
                     seg_count_p, cmask_a, nsegs_a, W, box_bf16,
                 )
-                counts = jnp.maximum(counts, counts2)
-            counts_flat = counts[:S, :W].reshape(-1).astype(jnp.int32)
+                if debug_double_count:
+                    # timing diagnostics: a second (side-effectful, so
+                    # not DCE'd) count sweep — its delta vs a normal
+                    # run is the count kernel's share of the level loop
+                    counts2 = _run_count(
+                        queue, bvh.node_packed, seg_node_a, seg_base_p,
+                        seg_count_p, cmask_a, nsegs_a, W, box_bf16,
+                    )
+                    counts = jnp.maximum(counts, counts2)
+                counts_flat = (
+                    counts[:S, :W].reshape(-1).astype(jnp.int32)
+                )
             pair_np = np.asarray(pair, np.int32)
             S_next = len(sched[lvl + 1][0])
             next_idx = jnp.asarray(
@@ -1058,12 +1164,43 @@ def trace_closest_wavefront(
             cdest_a = jnp.full((SWp,), -1, jnp.int32)
             cols_out = C
 
-        queue_new, log, currow = _run_pack(
+        # fused counting for the NEXT level: count grandchildren in
+        # this pack when level lvl+1 has inner children of its own
+        # (otherwise its pack needs no destinations)
+        fuse_next = (
+            fused_counts
+            and not debug_double_count
+            and has_inner
+            and lvl + 1 < len(sched)
+            and any(k == 1 for k in sched[lvl + 1][1])
+            and not (debug_levels and lvl + 1 >= debug_levels)
+        )
+        if fuse_next:
+            kind_next = sched[lvl + 1][1]
+            cgc_vals = []
+            for i, k in enumerate(kind):
+                c = pair[i] if k == 1 else -1
+                if c is None or c < 0 or k != 1:
+                    cgc_vals.append(0)
+                    continue
+                bits = 0
+                for w2 in range(W):
+                    if kind_next[c * W + w2] == 1:
+                        bits |= 1 << w2
+                cgc_vals.append((1 << 8) | bits)
+            cgc_a = pad_i32(cgc_vals, 0, SWp)
+        else:
+            cgc_a = pad_i32([], 0, SWp)
+
+        queue_new, log, currow, gc_out = _run_pack(
             queue, bvh.node_packed, scene.prim_packed, log,
             seg_node_a, seg_base_p, seg_count_p, cdest_a, ckind_a,
-            clstart_a, clcnt_a, cforce_a, cursor, nsegs_a,
+            clstart_a, clcnt_a, cforce_a, cgc_a, cursor, nsegs_a,
             W, k8, cols_out, do_kill, kill_eps, logcap, box_bf16,
+            fused_gc=fuse_next,
         )
+        gc_prev = (gc_out, np.asarray(pair, np.int32), Sp) \
+            if fuse_next else None
         cursor = currow[0, 0].reshape(1)
         dropped = dropped + currow[0, 1]
 

@@ -279,3 +279,41 @@ def test_want_prim_false_same_t(soup_scene):
     pa, pb = np.asarray(a.prim), np.asarray(b.prim)
     np.testing.assert_array_equal(pa >= 0, pb == -2)
     np.testing.assert_array_equal(pa < 0, pb == -1)
+
+
+def test_fused_counts_match_count_kernel(soup_scene):
+    """Fused grandchild counting in the pack kernel must reproduce the
+    count kernel's numbers exactly (same _box_terms arithmetic on the
+    same stored values), so the two schedules are identical."""
+    o, d = random_rays(2 * wf2.CHUNK, seed=41, origin_box=3.0)
+    valid = jnp.asarray((np.arange(o.shape[0]) % 11) != 5)
+    a = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, fused_counts=True
+    )
+    b = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, fused_counts=False
+    )
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(
+        np.asarray(a.prim), np.asarray(b.prim)
+    )
+    assert int(a.dropped) == int(b.dropped)
+
+
+def test_fused_counts_shadow(soup_scene):
+    o, d = random_rays(wf2.CHUNK, seed=42, origin_box=3.0)
+    n = o.shape[0]
+    valid = jnp.ones((n,), bool)
+    full = trace_bruteforce(soup_scene, o, d, valid)
+    t_hit = jnp.where(full.prim >= 0, full.t, 2.0)
+    max_t = t_hit * jnp.where(jnp.arange(n) % 3 == 0, 0.5, 1.5)
+    a = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, t_limit=max_t, fused_counts=True
+    )
+    b = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, t_limit=max_t, fused_counts=False
+    )
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(
+        np.asarray(a.prim), np.asarray(b.prim)
+    )

@@ -89,11 +89,15 @@ def capture_passes(cfg):
 def make_backend_fns(cfg, which):
     fns = {}
     for kind in which:
-        if kind in ("pallasc", "pallascas", "pallasbf"):
-            # pallasc   = wavefront2 + live-lane compaction (+cascade)
-            # pallascas = wavefront2 + cascade merge, NO compaction —
-            #             isolates the switch cost on full passes
-            # pallasbf  = wavefront2 + bf16 box tests, plain merge
+        if kind in ("pallasc", "pallascas", "pallasbf", "pallasnf",
+                    "pallaslite"):
+            # pallasc    = wavefront2 + live-lane compaction (+cascade)
+            # pallascas  = wavefront2 + cascade merge, NO compaction —
+            #              isolates the switch cost on full passes
+            # pallasbf   = wavefront2 + bf16 box tests
+            # pallasnf   = wavefront2 with the count-kernel sweeps
+            #              (fused grandchild counting disabled)
+            # pallaslite = wavefront2 + lite merge (shadow semantics)
             from cuda_raytracer_tpu.ops.pallas.wavefront2 import (
                 trace_closest_wavefront,
             )
@@ -102,8 +106,9 @@ def make_backend_fns(cfg, which):
                 return trace_closest_wavefront(
                     scene, o, d, valid, t_limit,
                     compact=kind == "pallasc",
-                    merge_cascade=kind in ("pallasc", "pallascas"),
                     box_bf16=kind == "pallasbf",
+                    fused_counts=kind != "pallasnf",
+                    want_prim=kind != "pallaslite",
                 )
         elif kind == "dfsbf":  # packet-DFS + bf16 slab tests
             c2 = cfg.replace(traversal="dfs", traversal_secondary="",
