@@ -29,7 +29,11 @@ WIDTH, HEIGHT, TOTAL_SPP = 800, 600, 64
 #: 16 spp per pass: with 8x8-tile sample order every 1024-ray traversal
 #: packet covers one image tile, which shrinks the packet-DFS union
 #: working set 3-6x (tools/sim_spp.py) and amortizes per-dispatch cost
-SPP_PER_PASS = 16
+#: (BENCH_SPP/BENCH_TW/BENCH_ML env overrides exist for operating-point
+#: experiments only; the committed defaults are the measured winners)
+SPP_PER_PASS = int(os.environ.get("BENCH_SPP", "16"))
+TREE_W = int(os.environ.get("BENCH_TW", "8"))
+MAX_LEAF = int(os.environ.get("BENCH_ML", "16"))
 
 
 def main():
@@ -44,8 +48,8 @@ def main():
         total_samples=TOTAL_SPP,
         max_depth=4,
         nee_schedule=((1, 1.0), (1, 1.0), (1, 1.0), (1, 1.0)),
-        tree_width=8,
-        max_leaf_size=16,
+        tree_width=TREE_W,
+        max_leaf_size=MAX_LEAF,
         sample_order="tiles8",
         rr_start_depth=2,
         # per-pass hybrid (tools/bench_passes.py, BENCHNOTES r3): DFS

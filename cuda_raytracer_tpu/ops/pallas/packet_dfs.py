@@ -195,13 +195,17 @@ def _dfs_kernel(
                 ),
                 jnp.maximum(t0z, t1z),
             )
-            eps = bf(0.02)  # >= a few 2^-8 roundings, safely
-            pad = bf(1e-3)  # absolute floor for |t| ~ 0
-            tn = tn_b - jnp.abs(tn_b) * eps - pad
-            tf = tf_b + jnp.abs(tf_b) * eps + pad
-            tub_b = tub.astype(bf)
-            tub_c = tub_b + jnp.abs(tub_b) * eps + pad
-            m = (tn <= tf) & (tf >= bf(0.0)) & (tn <= tub_c) & alive
+            # margin arithmetic + compares promote to f32: Mosaic on
+            # v5e has no bf16 vector compare (arith.cmpf on bf16 fails
+            # to lower), and the widening is exact in f32 anyway
+            eps = jnp.float32(0.02)  # >= a few 2^-8 roundings, safely
+            pad = jnp.float32(1e-3)  # absolute floor for |t| ~ 0
+            tn_f = tn_b.astype(jnp.float32)
+            tf_f = tf_b.astype(jnp.float32)
+            tn = tn_f - jnp.abs(tn_f) * eps - pad
+            tf = tf_f + jnp.abs(tf_f) * eps + pad
+            tub_c = tub + jnp.abs(tub) * eps + pad
+            m = (tn <= tf) & (tf >= 0.0) & (tn <= tub_c) & alive
         else:
             mnx = blk[:, 0:1]
             mny = blk[:, 1:2]

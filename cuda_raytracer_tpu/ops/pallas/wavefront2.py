@@ -188,10 +188,15 @@ def _box_terms(box, o_x, o_y, o_z, inv_x, inv_y, inv_z, bf16=False):
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.maximum(t0z, t1z),
         )
-        eps = bf(0.02)  # >= a few 2^-8 relative roundings
-        pad = bf(1e-3)  # absolute floor for |t| ~ 0
-        tnear = tn_b - jnp.abs(tn_b) * eps - pad
-        tfar = tf_b + jnp.abs(tf_b) * eps + pad
+        # margin arithmetic + every compare promote to f32: Mosaic on
+        # v5e has no bf16 vector compare (arith.cmpf on bf16 fails to
+        # lower); only the 6 multiplies stay bf16
+        eps = jnp.float32(0.02)  # >= a few 2^-8 relative roundings
+        pad = jnp.float32(1e-3)  # absolute floor for |t| ~ 0
+        tn_f = tn_b.astype(jnp.float32)
+        tf_f = tf_b.astype(jnp.float32)
+        tnear = tn_f - jnp.abs(tn_f) * eps - pad
+        tfar = tf_f + jnp.abs(tf_f) * eps + pad
         inside = (
             (o_x >= mnx)
             & (o_x <= mxx)
@@ -200,10 +205,8 @@ def _box_terms(box, o_x, o_y, o_z, inv_x, inv_y, inv_z, bf16=False):
             & (o_z >= mnz)
             & (o_z <= mxz)
         )
-        slab_ok = (tnear <= tfar) & (tfar >= bf(0.0))
-        # callers compare tnear against the f32 carried bound; the
-        # under-estimated bf16 tnear promotes losslessly to f32
-        return slab_ok, tnear.astype(jnp.float32), inside
+        slab_ok = (tnear <= tfar) & (tfar >= 0.0)
+        return slab_ok, tnear, inside
     t0x = (mnx - o_x) * inv_x
     t1x = (mxx - o_x) * inv_x
     t0y = (mny - o_y) * inv_y
@@ -996,7 +999,7 @@ def trace_closest_wavefront(
     debug_double_count: bool = False,
     debug_merge_branch: bool = False,
     want_prim: bool = True,
-    fused_counts: bool = True,
+    fused_counts: bool = False,
 ) -> WaveTraceResult:
     """Closest-hit traversal for N rays via the fused segment-major
     Pallas pipeline.  Exact-match semantics vs ops.traverse.trace_closest

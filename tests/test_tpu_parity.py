@@ -145,3 +145,52 @@ def test_small_packet_on_device(bunny):
     )(bunny.scene, o, d, valid)
     ref = trace_closest(bunny.scene, o, d, valid)
     _check(res, ref, min_hits=200)
+
+
+@pytest.mark.parametrize("kind", ["camera", "scattered"])
+def test_bf16_slabs_on_device(bunny, kind):
+    """Conservative bf16 box tests must compile on the real target and
+    stay bit-identical to f32 (Mosaic has no bf16 vector compare on
+    v5e, so the kernels must keep every comparison in f32 — a lowering
+    constraint interpret mode cannot exercise)."""
+    from cuda_raytracer_tpu.ops.pallas.packet_dfs import (
+        trace_closest_packets,
+    )
+    from cuda_raytracer_tpu.ops.pallas.wavefront2 import (
+        trace_closest_wavefront,
+    )
+
+    o, d, valid = _rays(bunny, 64 * 1024, kind=kind)
+    dfs_bf = jax.jit(lambda s, o, d, v: trace_closest_packets(
+        s, o, d, v, slab_bf16=True))(bunny.scene, o, d, valid)
+    dfs_f32 = jax.jit(lambda s, o, d, v: trace_closest_packets(
+        s, o, d, v, slab_bf16=False))(bunny.scene, o, d, valid)
+    np.testing.assert_array_equal(np.asarray(dfs_bf.t),
+                                  np.asarray(dfs_f32.t))
+    np.testing.assert_array_equal(np.asarray(dfs_bf.prim),
+                                  np.asarray(dfs_f32.prim))
+    wf_bf = jax.jit(lambda s, o, d, v: trace_closest_wavefront(
+        s, o, d, v, box_bf16=True))(bunny.scene, o, d, valid)
+    wf_f32 = jax.jit(lambda s, o, d, v: trace_closest_wavefront(
+        s, o, d, v, box_bf16=False))(bunny.scene, o, d, valid)
+    np.testing.assert_array_equal(np.asarray(wf_bf.t),
+                                  np.asarray(wf_f32.t))
+    np.testing.assert_array_equal(np.asarray(wf_bf.prim),
+                                  np.asarray(wf_f32.prim))
+
+
+def test_wavefront2_fused_counts_on_device(bunny):
+    """fused_counts=True (kept for A/B; default False — measured slower
+    on every pass, tools/bench_passes.py r3) must stay bit-identical."""
+    from cuda_raytracer_tpu.ops.pallas.wavefront2 import (
+        trace_closest_wavefront,
+    )
+
+    o, d, valid = _rays(bunny, 64 * 1024, kind="scattered")
+    a = jax.jit(lambda s, o, d, v: trace_closest_wavefront(
+        s, o, d, v, fused_counts=True))(bunny.scene, o, d, valid)
+    b = jax.jit(lambda s, o, d, v: trace_closest_wavefront(
+        s, o, d, v, fused_counts=False))(bunny.scene, o, d, valid)
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(np.asarray(a.prim),
+                                  np.asarray(b.prim))
