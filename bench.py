@@ -26,14 +26,20 @@ BASELINE_MRAYS = 100.0
 
 SCENE = "/root/reference/media/pathtracer/advanced/CBbunny.dae"
 WIDTH, HEIGHT, TOTAL_SPP = 800, 600, 64
-#: 16 spp per pass: with 8x8-tile sample order every 1024-ray traversal
-#: packet covers one image tile, which shrinks the packet-DFS union
-#: working set 3-6x (tools/sim_spp.py) and amortizes per-dispatch cost
-#: (BENCH_SPP/BENCH_TW/BENCH_ML env overrides exist for operating-point
-#: experiments only; the committed defaults are the measured winners)
-SPP_PER_PASS = int(os.environ.get("BENCH_SPP", "16"))
-TREE_W = int(os.environ.get("BENCH_TW", "8"))
-MAX_LEAF = int(os.environ.get("BENCH_ML", "16"))
+#: Operating point = the measured r3 sweep winner (BENCH_SPP/BENCH_TW/
+#: BENCH_ML env overrides exist for experiments only):
+#: * 32 spp per pass — with 8x8-tile sample order every 1024-ray
+#:   traversal packet covers one image tile (shrinks the packet-DFS
+#:   union working set, tools/sim_spp.py) and 2 frames/64 spp halve the
+#:   per-dispatch overhead vs 4; 64 spp/frame would exceed the kernels'
+#:   exact-f32 ray-id range (2^24) at 800x600.
+#: * W=4 / max_leaf=32 — spp-32 hybrid sweep: 37.9 Mrays/s vs 37.0
+#:   (4/16), 36.7 (4/64), 34.7 (8/32), 30.6 (8/16).  The queue-based
+#:   secondary passes dominate the frame and their per-chunk cost
+#:   scales with child count W.
+SPP_PER_PASS = int(os.environ.get("BENCH_SPP", "32"))
+TREE_W = int(os.environ.get("BENCH_TW", "4"))
+MAX_LEAF = int(os.environ.get("BENCH_ML", "32"))
 
 
 def main():

@@ -25,14 +25,23 @@ from cuda_raytracer_tpu.ops.pallas.wavefront2 import trace_closest_wavefront
 from bench_passes import capture_passes, WI, HI, SPP
 
 VARIANTS = {
-    # name: (compact, want_prim, fused_counts)
-    "fused": (False, True, True),
-    "nf": (False, True, False),
-    "lite": (False, False, True),
-    "litenf": (False, False, False),
-    "compact": (True, True, True),
-    "compactnf": (True, True, False),
-    "clitenf": (True, False, False),
+    # name: trace kwargs (fused_counts defaults False everywhere)
+    "fused": dict(fused_counts=True),
+    "nf": dict(),
+    "lite": dict(want_prim=False, fused_counts=True),
+    "litenf": dict(want_prim=False),
+    "compact": dict(compact=True, fused_counts=True),
+    "compactnf": dict(compact=True),
+    "clitenf": dict(compact=True, want_prim=False),
+    # decomposition probes (WRONG results - timing only)
+    "nomerge": dict(debug_no_merge=True),
+    "noleaf": dict(debug_no_leaf=True),
+    "noleafnm": dict(debug_no_leaf=True, debug_no_merge=True),
+    "L1": dict(debug_levels=1, debug_no_merge=True),
+    "L2": dict(debug_levels=2, debug_no_merge=True),
+    "L3": dict(debug_levels=3, debug_no_merge=True),
+    "L4": dict(debug_levels=4, debug_no_merge=True),
+    "L5": dict(debug_levels=5, debug_no_merge=True),
 }
 
 
@@ -41,12 +50,15 @@ def main():
     ap.add_argument("--passes", default="bounce-d1,shadow-d1,bounce-d2")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--variants", default="fused,nf,lite,litenf")
+    ap.add_argument("--tree-width", type=int, default=4)
+    ap.add_argument("--max-leaf", type=int, default=32)
+    ap.add_argument("--spp", type=int, default=32)
     args = ap.parse_args()
 
     cfg = RenderConfig(
-        width=WI, height=HI, samples_per_frame=SPP, total_samples=64,
+        width=WI, height=HI, samples_per_frame=args.spp, total_samples=64,
         max_depth=4, nee_schedule=((1, 1.0),) * 4,
-        tree_width=8, max_leaf_size=16,
+        tree_width=args.tree_width, max_leaf_size=args.max_leaf,
         sample_order="tiles8", rr_start_depth=2, traversal="dfs",
         fuse_frame="no",
     )
@@ -56,13 +68,18 @@ def main():
 
     fns = {}
     for nm in names:
-        comp, wp, fc = VARIANTS[nm]
-        fns[nm] = jax.jit(
-            lambda s, o, d, v, tl, comp=comp, wp=wp, fc=fc:
-            trace_closest_wavefront(
-                s, o, d, v, tl, compact=comp, want_prim=wp,
-                fused_counts=fc,
+        if nm == "dfs":
+            from cuda_raytracer_tpu.ops.pallas.packet_dfs import (
+                trace_closest_packets,
             )
+            fns[nm] = jax.jit(
+                lambda s, o, d, v, tl: trace_closest_packets(s, o, d, v, tl)
+            )
+            continue
+        kw = VARIANTS[nm]
+        fns[nm] = jax.jit(
+            lambda s, o, d, v, tl, kw=kw:
+            trace_closest_wavefront(s, o, d, v, tl, **kw)
         )
 
     for label, o, d, valid, t_limit in passes:
@@ -73,14 +90,14 @@ def main():
         times = {nm: [] for nm in names}
         # warmup/compile all variants first
         for nm in names:
-            if not shadow and VARIANTS[nm][1] is False:
+            if not shadow and VARIANTS.get(nm, {}).get("want_prim") is False:
                 continue  # lite merge is shadow-only semantics
             r = fns[nm](scene, o, d, valid, t_limit)
             jax.block_until_ready(r.t)
         for rep in range(args.reps):
             order = names[rep % len(names):] + names[: rep % len(names)]
             for nm in order:
-                if not shadow and VARIANTS[nm][1] is False:
+                if not shadow and VARIANTS.get(nm, {}).get("want_prim") is False:
                     continue
                 o_i = o + (rep + 1) * 1e-6
                 t0 = time.perf_counter()
