@@ -80,6 +80,16 @@ class RenderConfig:
     #: vector throughput on the dominant per-visit math; outward
     #: rounding makes false positives only, so results are unchanged).
     slab_bf16: bool = False
+    #: seed every Pallas-backend ray's carried upper bound with a
+    #: dense brute-force hit against the seed_k largest-area prims
+    #: (ops/seeds.py): boxes beyond the seed are pruned from the root
+    #: down and rays whose seed is final log nothing, shrinking both
+    #: the queues and the hit-log merge.  0 disables.  Measured on
+    #: CBbunny (tools/ab_interleave.py seed/seed16/seed8 variants):
+    #: K=16 covers every wall/light panel at a 96 ms sweep and wins
+    #: end-to-end (bounce-d1 937 -> 586 ms); K=32 pays 272 ms of sweep
+    #: for no extra pruning; K=8 loses walls and regresses shadows.
+    seed_k: int = 16
 
     # ---- path schedule ----
     #: number of path vertices (camera hit = depth 1). The reference hard

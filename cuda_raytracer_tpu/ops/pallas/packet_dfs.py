@@ -425,6 +425,8 @@ def trace_closest_packets(
     packet_size: int = C,
     vmem_tables: bool | None = None,
     slab_bf16: bool = False,
+    seed_t: jnp.ndarray = None,
+    seed_prim: jnp.ndarray = None,
 ) -> WaveTraceResult:
     """Closest-hit / shadow traversal for N rays via packet DFS.
 
@@ -467,6 +469,19 @@ def trace_closest_packets(
     else:
         tub = jnp.minimum(t_limit.astype(jnp.float32), T_NO_LIMIT)
         do_kill = True
+    if seed_t is not None:
+        # conservative seeding (ops/seeds.py): the kernel needs no
+        # changes — its per-lane bound starts at the seed (pruning
+        # subtrees beyond it) and reports only strictly-improving
+        # hits; the seed is merged back in below.  Shadow lanes whose
+        # seed already lands decisively short of the light are killed
+        # before traversal.
+        st = seed_t.astype(jnp.float32)
+        if do_kill:
+            decided = st < tub - jnp.float32(kill_eps)
+            tub = jnp.where(decided, -1.0, jnp.minimum(tub, st))
+        else:
+            tub = jnp.minimum(tub, st)
     tub = jnp.where(valid, tub, -1.0)
 
     payload = jnp.concatenate(
@@ -521,6 +536,13 @@ def trace_closest_packets(
 
     t = out[0, :N_in]
     prim = out[1, :N_in].astype(jnp.int32)
+    if seed_t is not None:
+        # the kernel reported only hits strictly better than the seed
+        # bound; rays whose seed is final came back as misses — fold
+        # the seed back in (seed_prim is -1 where the seed missed or
+        # the lane is invalid, so no-seed lanes are untouched)
+        t = jnp.where(prim >= 0, t, seed_t.astype(jnp.float32))
+        prim = jnp.where(prim >= 0, prim, seed_prim)
     return WaveTraceResult(
         t=jnp.where(prim >= 0, t, jnp.float32(jnp.inf)),
         prim=prim,

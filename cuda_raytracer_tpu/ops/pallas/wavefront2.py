@@ -1000,6 +1000,8 @@ def trace_closest_wavefront(
     debug_merge_branch: bool = False,
     want_prim: bool = True,
     fused_counts: bool = False,
+    seed_t: jnp.ndarray = None,
+    seed_prim: jnp.ndarray = None,
 ) -> WaveTraceResult:
     """Closest-hit traversal for N rays via the fused segment-major
     Pallas pipeline.  Exact-match semantics vs ops.traverse.trace_closest
@@ -1039,6 +1041,22 @@ def trace_closest_wavefront(
     else:
         tub = jnp.minimum(t_limit.astype(jnp.float32), T_NO_LIMIT)
         do_kill = True
+    if seed_t is not None:
+        # conservative seeding (ops/seeds.py): a pre-computed hit
+        # against the K largest prims tightens the initial carried
+        # bound, so boxes beyond it are pruned from the root down and
+        # only strictly-closer hits reach the log.  The seed t matches
+        # the kernel's own leaf t for that prim to ~1 ulp (separate
+        # XLA fusion), so results agree with the unseeded trace to
+        # float rounding (see ops/seeds.py).
+        st = seed_t.astype(jnp.float32)
+        if do_kill:
+            # seed already decisively short of the light: the shadow
+            # answer is decided — kill the lane before traversal
+            decided = st < tub - jnp.float32(kill_eps)
+            tub = jnp.where(decided, -1.0, jnp.minimum(tub, st))
+        else:
+            tub = jnp.minimum(tub, st)
     tub = jnp.where(valid, tub, -1.0)
     payload = jnp.concatenate(
         [o_sane.T, d_sane.T, ray_f[None, :], tub[None, :]], axis=0
@@ -1223,6 +1241,19 @@ def trace_closest_wavefront(
         )
     used = jnp.minimum(cursor[0], logcap)
 
+    if seed_t is not None:
+        # dense merge init: the seed hit stands in for the entry the
+        # kernel would have logged for that prim (same formula, ~1 ulp
+        # fusion drift), so rays whose seed is final need no log entry
+        # at all — the scatter-min starts from the seed instead of +inf
+        seed_vis = jnp.where(
+            (seed_t < T_NO_LIMIT) & valid,
+            seed_t.astype(jnp.float32), INF,
+        )
+        init_bits = jnp.append(_f2bits(seed_vis), _f2bits(INF))
+    else:
+        init_bits = None
+
     def merge_prefix(cols):
         """Scatter-min merge over the first `cols` log columns (static);
         correct whenever used <= cols since the log fills
@@ -1238,7 +1269,9 @@ def trace_closest_wavefront(
         ray_i = jnp.where(live, r_flat, 0.0).astype(jnp.int32)
         ray_i = jnp.where(live, ray_i, N_in)
         bits = _f2bits(jnp.where(live, t_flat, INF))
-        best_bits = jnp.full((N_in + 1,), _f2bits(INF), jnp.int32)
+        best_bits = init_bits if init_bits is not None else jnp.full(
+            (N_in + 1,), _f2bits(INF), jnp.int32
+        )
         best_bits = best_bits.at[ray_i].min(bits, mode="drop")
         if not want_prim:
             return best_bits[:N_in], None
@@ -1289,6 +1322,11 @@ def trace_closest_wavefront(
         best_bits, best_prim = merge_prefix(logcols)
 
     if want_prim:
+        if seed_prim is not None:
+            # any log entry beats the seed strictly, so the seed prim
+            # only decides when no entry landed for the ray (seed_prim
+            # is already -1 where the seed missed)
+            best_prim = jnp.where(best_prim >= 0, best_prim, seed_prim)
         return WaveTraceResult(
             t=jnp.where(best_prim >= 0, _bits2f(best_bits), INF),
             prim=best_prim,

@@ -24,93 +24,7 @@ from ..ops.traverse import trace_closest
 from ..render.flatscene import FlatScene
 
 
-def make_trace_fn(cfg: RenderConfig, secondary: bool = False,
-                  compact: bool = False):
-    """Traversal backend selected by cfg.traversal (or, for bounce and
-    depth>0 shadow passes, cfg.traversal_secondary when set):
-
-    * ``dfs``     — packet-DFS Pallas kernel (fastest on coherent
-      passes; the default on TPU)
-    * ``pallas``  — fused segment-major Pallas kernels (wavefront2;
-      coherence-insensitive — wins on incoherent secondary passes)
-    * ``pallas1`` — the round-1 kernels (kept for comparison benches)
-    * ``xla``     — pure-XLA scan traversal
-    * ``auto``    — dfs on TPU, xla elsewhere
-    """
-    kind = (cfg.traversal_secondary or cfg.traversal) if secondary \
-        else cfg.traversal
-    auto = kind == "auto"
-    if auto:
-        kind = "dfs" if jax.default_backend() == "tpu" else "xla"
-
-    if kind == "dfs":
-        from ..ops.pallas.packet_dfs import trace_closest_packets
-
-        psize = (cfg.packet_size_secondary or cfg.packet_size) \
-            if secondary else cfg.packet_size
-
-        fallback = None
-
-        def trace(scene, o, d, valid, t_limit=None):
-            tl = None if cfg.reference_compat else t_limit
-            if auto and scene.bvh.width > 8:
-                # trees wider than one 8-row node block: route to the
-                # queue-based backend instead of erroring (static per
-                # scene shape — one trace each)
-                nonlocal fallback
-                if fallback is None:
-                    fallback = make_trace_fn(
-                        cfg.replace(
-                            traversal="pallas", traversal_secondary=""
-                        ),
-                        secondary=secondary,
-                    )
-                return fallback(scene, o, d, valid, t_limit)
-            # large scenes: tables stay HBM-resident (auto inside);
-            # explicit traversal='dfs' keeps the same behavior
-            return trace_closest_packets(
-                scene, o, d, valid, tl, kill_eps=cfg.shadow_eps,
-                packet_size=psize, slab_bf16=cfg.slab_bf16,
-            )
-
-    elif kind == "pallas":
-        from ..ops.pallas.wavefront2 import trace_closest_wavefront
-
-        # the partition sweep costs ~40 ns per live lane, so compaction
-        # only pays on RR-thinned populations — the caller passes
-        # compact=True for depths past rr_start_depth
-        do_compact = compact and cfg.compact_secondary
-
-        def trace(scene, o, d, valid, t_limit=None):
-            # reference-compat shadow semantics need hits beyond maxT,
-            # so only prune/kill by t_limit in the default mode
-            tl = None if cfg.reference_compat else t_limit
-            return trace_closest_wavefront(
-                scene, o, d, valid, tl, cfg.queue_multiplier,
-                kill_eps=cfg.shadow_eps, compact=do_compact,
-                box_bf16=cfg.slab_bf16,
-                # shadow passes only consume the t > maxT - eps
-                # comparison (nee_accum), so skip the prim merge —
-                # 1 linear scatter pass instead of 3
-                want_prim=tl is None,
-            )
-
-    elif kind == "pallas1":
-        from ..ops.pallas.wavefront import trace_closest_wavefront as t1
-
-        def trace(scene, o, d, valid, t_limit=None):
-            tl = None if cfg.reference_compat else t_limit
-            return t1(scene, o, d, valid, tl, cfg.queue_multiplier)
-
-    elif kind == "xla":
-
-        def trace(scene, o, d, valid, t_limit=None):
-            return trace_closest(scene, o, d, valid, cfg.queue_multiplier)
-
-    else:
-        raise ValueError(f"unknown traversal backend {cfg.traversal!r}")
-
-    return trace
+from .backends import make_trace_fn  # noqa: E402 — see backends.py
 
 
 def make_stage_fns(cfg: RenderConfig):

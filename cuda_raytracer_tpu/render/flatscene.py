@@ -173,6 +173,17 @@ class FlatScene:
     light_kinds: Tuple[int, ...] = struct.field(pytree_node=False)
     has_env: bool = struct.field(pytree_node=False)
 
+    #: seed-prim rows for conservative t_ub seeding (ops/seeds.py): the
+    #: K largest-area primitives as [v0.xyz v1.xyz v2.xyz type id
+    #: pad...] (16 f32).  Any subset of the real scene yields a valid
+    #: upper bound on the closest hit, so a dense brute-force test
+    #: against these rows bounds the wavefront traversal's search: only
+    #: strictly-closer hits are logged (shrinking the scatter merge)
+    #: and boxes beyond the bound are never descended (shrinking the
+    #: queues).  In box-like scenes (walls/floor/ceiling dominate by
+    #: area) most rays' seed IS their final hit.
+    seed_rows: jnp.ndarray = None  # [K, 16] f32
+
     @property
     def num_prims(self) -> int:
         return self.v0.shape[0]
@@ -646,6 +657,26 @@ def flatten_scene(
     shade_packed[:, 16:19] = n2[order]
     shade_packed[:, 19] = pbsdf[order]
 
+    # seed rows: the K largest-area prims (area = the occlusion each
+    # contributes; triangles 0.5|e1 x e2|, spheres pi r^2 projected
+    # disc), BVH-order ids so results join the normal prim arrays
+    ov0, ov1, ov2 = v0[order], v1[order], v2[order]
+    otype = ptype[order]
+    tri_area = 0.5 * np.linalg.norm(
+        np.cross(ov1 - ov0, ov2 - ov0), axis=1
+    )
+    sph_area = np.pi * ov1[:, 0] ** 2
+    area = np.where(otype == 0, tri_area, sph_area)
+    K = int(min(32, P))
+    seed_ids = np.argsort(-area, kind="stable")[:K]
+    seed_rows = np.zeros((max(K, 1), 16), np.float32)
+    if K:
+        seed_rows[:, 0:3] = ov0[seed_ids]
+        seed_rows[:, 3:6] = ov1[seed_ids]
+        seed_rows[:, 6:9] = ov2[seed_ids]
+        seed_rows[:, 9] = otype[seed_ids]
+        seed_rows[:, 10] = seed_ids.astype(np.float32)
+
     fscene = FlatScene(
         prim_type=i32(ptype[order]),
         v0=f32(v0[order]),
@@ -675,5 +706,6 @@ def flatten_scene(
         num_lights=num_device_lights,
         light_kinds=tuple(int(t) for t in lt),
         has_env=env_light is not None,
+        seed_rows=f32(seed_rows),
     )
     return fscene, bvh

@@ -211,3 +211,47 @@ def test_tiny_scene_root_leaf():
     assert scene.bvh.root_is_leaf
     o, d = _camera_rays(pdfs.C, key=2)
     check_match(scene, o, d)
+
+
+def test_seeded_matches_unseeded(box_scene):
+    """Seeded DFS (conservative upper bounds from ops/seeds.py) must
+    match the unseeded trace to float rounding: the seed t comes from
+    a separately-fused XLA sweep, so it can drift from the kernel's
+    leaf t for the same prim by ~1 ulp."""
+    from cuda_raytracer_tpu.ops.seeds import seed_hits
+
+    o, d = random_rays(pdfs.C, seed=31, origin_box=0.9)
+    valid = jnp.arange(o.shape[0]) % 7 != 0
+    sd = seed_hits(box_scene, o, d, valid)
+    a = pdfs.trace_closest_packets(box_scene, o, d, valid)
+    b = pdfs.trace_closest_packets(
+        box_scene, o, d, valid, seed_t=sd.t, seed_prim=sd.prim
+    )
+    ta, tb = np.asarray(a.t), np.asarray(b.t)
+    pa, pb = np.asarray(a.prim), np.asarray(b.prim)
+    np.testing.assert_array_equal(pa < 0, pb < 0)
+    hit = pa >= 0
+    assert hit.mean() > 0.5
+    np.testing.assert_allclose(ta[hit], tb[hit], rtol=1e-6, atol=1e-6)
+    assert np.mean(pa[hit] == pb[hit]) > 0.99
+
+
+def test_seeded_shadow_decision(box_scene):
+    from cuda_raytracer_tpu.ops.seeds import seed_hits
+
+    o, d = random_rays(pdfs.C, seed=32, origin_box=0.9)
+    n = o.shape[0]
+    valid = jnp.ones((n,), bool)
+    full = trace_bruteforce(box_scene, o, d, valid)
+    t_hit = jnp.where(full.prim >= 0, full.t, 2.0)
+    scale = jnp.where(jnp.arange(n) % 3 == 0, 0.5, 1.5)
+    max_t = t_hit * scale
+    sd = seed_hits(box_scene, o, d, valid)
+    res = pdfs.trace_closest_packets(
+        box_scene, o, d, valid, t_limit=max_t, kill_eps=1e-3,
+        seed_t=sd.t, seed_prim=sd.prim,
+    )
+    eps = 1e-3
+    ref_pass = np.asarray(full.t) > np.asarray(max_t) - eps
+    got_pass = np.asarray(res.t) > np.asarray(max_t) - eps
+    np.testing.assert_array_equal(got_pass, ref_pass)

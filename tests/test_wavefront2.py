@@ -317,3 +317,104 @@ def test_fused_counts_shadow(soup_scene):
     np.testing.assert_array_equal(
         np.asarray(a.prim), np.asarray(b.prim)
     )
+
+
+def _seeds(scene, o, d, valid, k=32):
+    from cuda_raytracer_tpu.ops.seeds import seed_hits
+
+    return seed_hits(scene, o, d, valid, k=k)
+
+
+def test_seed_hits_are_real_hits(box_scene):
+    """Every seed hit must be a real hit of that prim (upper-bound
+    property) — verified against the dense brute-force oracle."""
+    o, d = random_rays(wf2.CHUNK, seed=11, origin_box=0.9)
+    valid = jnp.ones(o.shape[0], bool)
+    sd = _seeds(box_scene, o, d, valid)
+    full = trace_bruteforce(box_scene, o, d, valid)
+    st, sp = np.asarray(sd.t), np.asarray(sd.prim)
+    ft, fp = np.asarray(full.t), np.asarray(full.prim)
+    hit = sp >= 0
+    assert hit.mean() > 0.5, "box walls should seed most rays"
+    # the seed is an upper bound on the true closest hit
+    assert np.all(st[hit] >= ft[hit] - 1e-6)
+    # where the true winner IS a seed prim, the seed equals it exactly
+    same = hit & (sp == fp)
+    np.testing.assert_array_equal(st[same], ft[same])
+
+
+def _assert_seed_parity(a, b):
+    """Seeded results match unseeded to float rounding: the seed t is
+    computed by a separately-fused XLA sweep, so it can differ from the
+    kernel's leaf t for the same prim by ~1 ulp (measured 0.6% of rays
+    at <= 3e-7 relative), exactly like kernel-vs-oracle FMA drift."""
+    ta, tb = np.asarray(a.t), np.asarray(b.t)
+    pa, pb = np.asarray(a.prim), np.asarray(b.prim)
+    np.testing.assert_array_equal(pa < 0, pb < 0)
+    hit = pa >= 0
+    np.testing.assert_allclose(ta[hit], tb[hit], rtol=1e-6, atol=1e-6)
+    assert np.mean(pa[hit] == pb[hit]) > 0.99
+
+
+@pytest.mark.parametrize("fixture", ["box_scene", "soup_scene"])
+def test_seeded_matches_unseeded(fixture, request):
+    scene = request.getfixturevalue(fixture)
+    o, d = random_rays(wf2.CHUNK, seed=12, origin_box=0.9)
+    valid = jnp.arange(o.shape[0]) % 5 != 0
+    sd = _seeds(scene, o, d, valid)
+    a = wf2.trace_closest_wavefront(scene, o, d, valid)
+    b = wf2.trace_closest_wavefront(
+        scene, o, d, valid, seed_t=sd.t, seed_prim=sd.prim
+    )
+    _assert_seed_parity(a, b)
+
+
+def test_seeded_shadow_decision(box_scene):
+    o, d = random_rays(wf2.CHUNK, seed=13, origin_box=0.9)
+    n = o.shape[0]
+    valid = jnp.ones((n,), bool)
+    full = trace_bruteforce(box_scene, o, d, valid)
+    t_hit = jnp.where(full.prim >= 0, full.t, 2.0)
+    scale = jnp.where(jnp.arange(n) % 3 == 0, 0.5, 1.5)
+    max_t = t_hit * scale
+    sd = _seeds(box_scene, o, d, valid)
+    res = wf2.trace_closest_wavefront(
+        box_scene, o, d, valid, t_limit=max_t, kill_eps=1e-3,
+        want_prim=False, seed_t=sd.t, seed_prim=sd.prim,
+    )
+    eps = 1e-3
+    ref_pass = np.asarray(full.t) > np.asarray(max_t) - eps
+    got_pass = np.asarray(res.t) > np.asarray(max_t) - eps
+    np.testing.assert_array_equal(got_pass, ref_pass)
+
+
+def test_seeded_compacted_matches(box_scene):
+    o, d = random_rays(2 * wf2.CHUNK, seed=14, origin_box=0.9)
+    n = o.shape[0]
+    valid = jnp.asarray((np.arange(n) * 2654435761 % 97) < 30)
+    sd = _seeds(box_scene, o, d, valid)
+    a = wf2.trace_closest_wavefront(box_scene, o, d, valid)
+    b = wf2.trace_closest_wavefront(
+        box_scene, o, d, valid, compact=True,
+        seed_t=sd.t, seed_prim=sd.prim,
+    )
+    _assert_seed_parity(a, b)
+
+
+def test_seeding_shrinks_the_log(box_scene):
+    """In a box-like scene most rays' seed is final, so the seeded run
+    must log far fewer improving hits (debug_merge_branch reports the
+    used-entry cursor in `dropped`)."""
+    o, d = random_rays(wf2.CHUNK, seed=15, origin_box=0.9)
+    valid = jnp.ones(o.shape[0], bool)
+    sd = _seeds(box_scene, o, d, valid)
+    a = wf2.trace_closest_wavefront(
+        box_scene, o, d, valid, debug_merge_branch=True
+    )
+    b = wf2.trace_closest_wavefront(
+        box_scene, o, d, valid, debug_merge_branch=True,
+        seed_t=sd.t, seed_prim=sd.prim,
+    )
+    used_a = int(a.dropped) % 100_000_000
+    used_b = int(b.dropped) % 100_000_000
+    assert used_b < used_a * 0.6, (used_a, used_b)

@@ -44,6 +44,18 @@ VARIANTS = {
     "L5": dict(debug_levels=5, debug_no_merge=True),
 }
 
+#: variants that compute ops/seeds.py seed bounds inside the jit (so
+#: the seed sweep's cost is included in the timing)
+SEED_VARIANTS = {
+    "seed": dict(),
+    "seedlite": dict(want_prim=False),
+    "seedcompact": dict(compact=True),
+    "seedclite": dict(compact=True, want_prim=False),
+    "seed16": dict(_k=16),
+    "seed8": dict(_k=8),
+    "seedlite16": dict(want_prim=False, _k=16),
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -62,19 +74,48 @@ def main():
         sample_order="tiles8", rr_start_depth=2, traversal="dfs",
         fuse_frame="no",
     )
-    scene, passes = capture_passes(cfg)
+    scene, passes = capture_passes(cfg, to_host=True)
     wanted = args.passes.split(",")
     names = args.variants.split(",")
+    # keep only the wanted passes, staged on HOST: 8 captured passes at
+    # spp=32 (15.36M rays) exhaust HBM next to the traversal buffers
+    passes = [p for p in passes if p[0] in wanted]
 
     fns = {}
     for nm in names:
-        if nm == "dfs":
+        if nm in ("dfs", "dfsseed"):
             from cuda_raytracer_tpu.ops.pallas.packet_dfs import (
                 trace_closest_packets,
             )
-            fns[nm] = jax.jit(
-                lambda s, o, d, v, tl: trace_closest_packets(s, o, d, v, tl)
-            )
+            if nm == "dfsseed":
+                from cuda_raytracer_tpu.ops.seeds import seed_hits
+
+                def fdfs(s, o, d, v, tl):
+                    sd = seed_hits(s, o, d, v)
+                    return trace_closest_packets(
+                        s, o, d, v, tl, seed_t=sd.t, seed_prim=sd.prim
+                    )
+
+                fns[nm] = jax.jit(fdfs)
+            else:
+                fns[nm] = jax.jit(
+                    lambda s, o, d, v, tl:
+                    trace_closest_packets(s, o, d, v, tl)
+                )
+            continue
+        if nm in SEED_VARIANTS:
+            from cuda_raytracer_tpu.ops.seeds import seed_hits
+
+            kw = dict(SEED_VARIANTS[nm])
+            k = kw.pop("_k", 32)
+
+            def f(s, o, d, v, tl, kw=kw, k=k):
+                sd = seed_hits(s, o, d, v, k=k)
+                return trace_closest_wavefront(
+                    s, o, d, v, tl, seed_t=sd.t, seed_prim=sd.prim, **kw
+                )
+
+            fns[nm] = jax.jit(f)
             continue
         kw = VARIANTS[nm]
         fns[nm] = jax.jit(
@@ -82,22 +123,30 @@ def main():
             trace_closest_wavefront(s, o, d, v, tl, **kw)
         )
 
-    for label, o, d, valid, t_limit in passes:
-        if label not in wanted:
-            continue
+    for label, o_h, d_h, valid_h, tl_h in passes:
+        o = jnp.asarray(o_h)
+        d = jnp.asarray(d_h)
+        valid = jnp.asarray(valid_h)
+        t_limit = None if tl_h is None else jnp.asarray(tl_h)
         n = o.shape[0]
         shadow = t_limit is not None
         times = {nm: [] for nm in names}
         # warmup/compile all variants first
         for nm in names:
-            if not shadow and VARIANTS.get(nm, {}).get("want_prim") is False:
+            if not shadow and False in (
+                VARIANTS.get(nm, {}).get("want_prim"),
+                SEED_VARIANTS.get(nm, {}).get("want_prim"),
+            ):
                 continue  # lite merge is shadow-only semantics
             r = fns[nm](scene, o, d, valid, t_limit)
             jax.block_until_ready(r.t)
         for rep in range(args.reps):
             order = names[rep % len(names):] + names[: rep % len(names)]
             for nm in order:
-                if not shadow and VARIANTS.get(nm, {}).get("want_prim") is False:
+                if not shadow and False in (
+                VARIANTS.get(nm, {}).get("want_prim"),
+                SEED_VARIANTS.get(nm, {}).get("want_prim"),
+            ):
                     continue
                 o_i = o + (rep + 1) * 1e-6
                 t0 = time.perf_counter()

@@ -36,7 +36,7 @@ SCENE = "/root/reference/media/pathtracer/advanced/CBbunny.dae"
 WI, HI, SPP = 800, 600, 16
 
 
-def capture_passes(cfg):
+def capture_passes(cfg, to_host=False):
     """Run one bench frame eagerly, recording every trace call's inputs."""
     r = WavefrontRenderer(cfg, camera_mode="collada")
     r.load_scene(SCENE)
@@ -53,7 +53,15 @@ def capture_passes(cfg):
         if depth_state["k"] == 0:
             kind = "primary"
         label = f"{kind}-d{depth_state['d']}"
-        passes.append((label, o, d, valid, t_limit))
+        if to_host:
+            # at spp=32 (15.36M rays) eight device-resident captures
+            # exhaust HBM next to the frame's own buffers
+            passes.append((
+                label, np.asarray(o), np.asarray(d), np.asarray(valid),
+                None if t_limit is None else np.asarray(t_limit),
+            ))
+        else:
+            passes.append((label, o, d, valid, t_limit))
         depth_state["k"] += 1
         return real_trace(scene, o, d, valid, t_limit)
 
