@@ -40,6 +40,7 @@ WIDTH, HEIGHT, TOTAL_SPP = 800, 600, 64
 SPP_PER_PASS = int(os.environ.get("BENCH_SPP", "32"))
 TREE_W = int(os.environ.get("BENCH_TW", "4"))
 MAX_LEAF = int(os.environ.get("BENCH_ML", "32"))
+SEED_K = os.environ.get("BENCH_SEEDK")  # experiment override only
 
 
 def main():
@@ -65,6 +66,9 @@ def main():
         # bounce-d1)
         traversal="dfs",
         traversal_secondary="pallas",
+        **({"seed_k": int(SEED_K)} if SEED_K is not None else {}),
+        **({"seed_primary": os.environ["BENCH_SEEDPRIM"] == "1"}
+           if "BENCH_SEEDPRIM" in os.environ else {}),
     )
     r = WavefrontRenderer(cfg, camera_mode="collada")
     if os.path.exists(SCENE):

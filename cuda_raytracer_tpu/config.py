@@ -90,6 +90,14 @@ class RenderConfig:
     #: end-to-end (bounce-d1 937 -> 586 ms); K=32 pays 272 ms of sweep
     #: for no extra pruning; K=8 loses walls and regresses shadows.
     seed_k: int = 16
+    #: also seed the depth-0 (primary + camera-hit shadow) passes.
+    #: Those run the packet-DFS backend, which is already near-optimal
+    #: on coherent rays: seeding them measured a NET LOSS on the bench
+    #: frame (engine A/B: 41.85 Mrays/s secondary-only vs 37.34 with
+    #: depth-0 seeded vs 38.02 unseeded) — the two 96 ms sweeps buy no
+    #: union shrink the coherent packets weren't already getting from
+    #: their own evolving bounds.
+    seed_primary: bool = False
 
     # ---- path schedule ----
     #: number of path vertices (camera hit = depth 1). The reference hard

@@ -59,7 +59,10 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False,
         sweep runs over the FULL ray population while the savings
         scale with the live fraction — measured a net loss at
         0.11-0.26 live (tools/ab_interleave.py seedcompact rows)."""
-        if cfg.seed_k and scene.seed_rows is not None and not compact:
+        use = cfg.seed_k and scene.seed_rows is not None and not compact
+        if use and not secondary and not cfg.seed_primary:
+            use = False
+        if use:
             sd = seed_hits(scene, o, d, valid, k=cfg.seed_k)
             return sd.t, sd.prim
         return None, None

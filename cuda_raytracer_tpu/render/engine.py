@@ -219,9 +219,20 @@ class WavefrontRenderer:
             film_jit = jax.jit(film, static_argnums=(3,))
 
             def run(scene, cam_arrays, key, final_img, image_samples):
+                import os as _os
+
+                time_depths = _os.environ.get("CRT_TIME_DEPTHS")
                 carry = raygen_jit(cam_arrays, key)
-                for dj in depth_jits:
+                if time_depths:  # diagnostics: sync per depth
+                    jax.block_until_ready(carry)
+                for i, dj in enumerate(depth_jits):
+                    t0 = time.perf_counter() if time_depths else 0.0
                     carry = dj(scene, carry, key)
+                    if time_depths:
+                        jax.block_until_ready(carry)
+                        self.stage_times[f"depth{i}"] = (
+                            time.perf_counter() - t0
+                        )
                 with_median = (
                     int(image_samples) < cfg.post_process_threshold
                 )
