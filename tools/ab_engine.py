@@ -1,0 +1,72 @@
+"""Interleaved engine-level A/B at the bench operating point.
+
+Separate bench.py invocations vary by ~10% on the tunneled v5e, so
+engine variants must be timed ROUND-ROBIN in one process: each variant
+gets its own WavefrontRenderer (compiled once), then frames run
+interleaved and per-frame wall times are compared.
+
+Usage: python tools/ab_engine.py [--variants seeded,noseed,allseed]
+       [--reps 6]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cuda_raytracer_tpu.config import RenderConfig
+from cuda_raytracer_tpu.render.engine import WavefrontRenderer
+
+SCENE = "/root/reference/media/pathtracer/advanced/CBbunny.dae"
+
+VARIANTS = {
+    # kwargs on top of the bench operating point
+    "seeded": {},                                  # current defaults
+    "noseed": {"seed_k": 0},
+    "allseed": {"seed_primary": True},
+    "seed32": {"seed_k": 32},
+    "bf16": {"slab_bf16": True},
+    "fc": {},  # placeholder for future knobs
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="seeded,noseed")
+    ap.add_argument("--reps", type=int, default=6)
+    args = ap.parse_args()
+    names = args.variants.split(",")
+
+    rs = {}
+    for nm in names:
+        cfg = RenderConfig(
+            width=800, height=600, samples_per_frame=32, total_samples=64,
+            max_depth=4, nee_schedule=((1, 1.0),) * 4,
+            sample_order="tiles8", rr_start_depth=2,
+            tree_width=4, max_leaf_size=32,
+            traversal="dfs", traversal_secondary="pallas",
+            **VARIANTS[nm],
+        )
+        r = WavefrontRenderer(cfg, camera_mode="collada")
+        r.load_scene(SCENE)
+        r.render()  # compile + warm
+        rs[nm] = r
+        print(f"{nm}: compiled", flush=True)
+
+    times = {nm: [] for nm in names}
+    for rep in range(args.reps):
+        order = names[rep % len(names):] + names[: rep % len(names)]
+        for nm in order:
+            r = rs[nm]
+            t0 = time.perf_counter()
+            r.render()  # render() blocks on the final image
+            times[nm].append(time.perf_counter() - t0)
+    for nm in names:
+        ts = sorted(times[nm])
+        print(f"{nm:8s}: min {ts[0]:.3f}s  med {ts[len(ts)//2]:.3f}s  "
+              f"all {[f'{t:.2f}' for t in times[nm]]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
