@@ -368,6 +368,11 @@ def _pack_kernel(
     #       next level's count mask has child w' of this child's node)
     cursor_in,  # [1] element cursor into the hit log
     nsegs,
+    ctab,  # [capR] chunk table: logical read chunk -> physical chunk of
+    #       queue_in (identity at level 0; dyn_alloc levels get the
+    #       previous pack's tag-sorted allocation order)
+    cpair,  # [Sp*W] next-level segment index of inner child w (-1 =
+    #        not inner) — the tag written per allocated chunk
     # inputs
     queue_in,
     node_packed,
@@ -381,6 +386,14 @@ def _pack_kernel(
     #         entering grandchild w' — the next level's count matrix,
     #         computed while the entries are still in VMEM (replaces a
     #         full count-kernel HBM sweep per level)
+    app_ref,  # [Sp, 128] f32 (dyn_alloc): lane w = entries actually
+    #          written for inner child w — the next level's segment
+    #          count, produced as a by-product of routing (kills the
+    #          standalone count kernel's HBM sweep)
+    tags_ref,  # [1, capT] f32 (dyn_alloc): next-segment id per
+    #           physical chunk of queue_out allocated by the bump
+    #           cursor; 1e9 = unallocated.  A stable argsort of this
+    #           row is the next level's read chunk table.
     # scratch
     ebuf,
     nrow,
@@ -407,6 +420,7 @@ def _pack_kernel(
     logcap: int,
     box_bf16: bool,
     fused_gc: bool,
+    dyn_alloc: bool,
 ):
     C = CHUNK
     W = width
@@ -414,6 +428,10 @@ def _pack_kernel(
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     krow = jax.lax.broadcasted_iota(jnp.int32, (k8, 1), 0)
     gc_ref[...] = jnp.zeros_like(gc_ref)
+    app_ref[...] = jnp.zeros_like(app_ref)
+    tags_ref[...] = jnp.full(tags_ref.shape, 1e9, jnp.float32)
+    capW = queue_out.shape[1] // C  # bump-cursor allocation capacity
+    laneT = jax.lax.broadcasted_iota(jnp.int32, tags_ref.shape, 1)
 
     # -- log tail resume: preload the partial chunk at the cursor --
     # All queue/log offsets are carried in CHUNK units and multiplied by
@@ -436,9 +454,20 @@ def _pack_kernel(
         def process(carry):
             (ltcnt, log_chunk, ldrop, lfchunk) = carry[0:4]
             fchunks = list(carry[4:4 + W])
+            gcur = carry[4 + W]
             node = seg_node[s]
             base_col = seg_base[s] * C
             nchunks = (cnt + C - 1) // C
+
+            def in_col(c):
+                # dyn_alloc levels read through the chunk table (the
+                # previous level wrote this segment's chunks at bump-
+                # allocated physical positions); legacy regions are
+                # contiguous at seg_base
+                if dyn_alloc:
+                    return ctab[seg_base[s] + c] * C
+                return base_col + c * C
+
             ndma = pltpu.make_async_copy(
                 node_packed.at[pl.ds(node, 1), :], nrow, nsem
             )
@@ -446,7 +475,7 @@ def _pack_kernel(
 
             def start_chunk(c, slot):
                 pltpu.make_async_copy(
-                    queue_in.at[:, pl.ds(base_col + c * C, C)],
+                    queue_in.at[:, pl.ds(in_col(c), C)],
                     ebuf.at[slot],
                     qsem.at[slot],
                 ).start()
@@ -503,6 +532,9 @@ def _pack_kernel(
                 gcacc = ch[4 + W]
                 tcs = list(ch[5 + W:5 + 2 * W])
                 fls = list(ch[5 + 2 * W:5 + 3 * W])
+                gcur = ch[5 + 3 * W]
+                dead = ch[6 + 3 * W]
+                napp = list(ch[7 + 3 * W:7 + 4 * W])
                 slot = jax.lax.rem(c, 2)
 
                 @pl.when(c + 1 < nchunks)
@@ -510,7 +542,7 @@ def _pack_kernel(
                     start_chunk(c + 1, jax.lax.rem(c + 1, 2))
 
                 pltpu.make_async_copy(
-                    queue_in.at[:, pl.ds(base_col + c * C, C)],
+                    queue_in.at[:, pl.ds(in_col(c), C)],
                     ebuf.at[slot],
                     qsem.at[slot],
                 ).wait()
@@ -705,7 +737,12 @@ def _pack_kernel(
                         & (kind_w == 1)
                     )
                     n_w = jnp.sum(m_in.astype(jnp.int32))
-                    active = (dest_w >= 0) & (n_w > 0)
+                    if dyn_alloc:
+                        alive_w = ((dead >> w) & 1) == 0
+                        napp[w] = napp[w] + n_w
+                        active = alive_w & (n_w > 0)
+                    else:
+                        active = (dest_w >= 0) & (n_w > 0)
 
                     # ---- fused next-level counting: while the entries
                     # bound for child w are in registers, test them
@@ -760,10 +797,152 @@ def _pack_kernel(
                         )
                         _append_tail(tails.at[w], payload, m_in, tcs[w])
 
-                    tc = jnp.where(dest_w >= 0, tcs[w] + n_w, tcs[w])
-                    flush_w = tc >= C
+                    if dyn_alloc:
+                        tc = jnp.where(active, tcs[w] + n_w, tcs[w])
+                        flush_w = tc >= C
+                        ok_w = gcur < capW
+                        do_flush = flush_w & ok_w
+                        died = flush_w & (~ok_w)
 
-                    @pl.when(flush_w)
+                        @pl.when(do_flush)
+                        def _(w=w, gcur=gcur):
+                            @pl.when(fchunks[w] >= 0)
+                            def _():
+                                pltpu.make_async_copy(
+                                    fbuf.at[w],
+                                    queue_out.at[
+                                        :, pl.ds(fchunks[w] * C, C)
+                                    ],
+                                    fsem.at[w],
+                                ).wait()
+
+                            fbuf[w, ...] = tails[w, :, 0:C]
+                            pltpu.make_async_copy(
+                                fbuf.at[w],
+                                queue_out.at[:, pl.ds(gcur * C, C)],
+                                fsem.at[w],
+                            ).start()
+                            tags_ref[...] = jnp.where(
+                                laneT == gcur,
+                                cpair[s * W + w].astype(jnp.float32),
+                                tags_ref[...],
+                            )
+                            tails[w, ...] = pltpu.roll(
+                                tails[w, ...], C, axis=1
+                            )
+
+                        fchunks[w] = jnp.where(do_flush, gcur, fchunks[w])
+                        fls[w] = fls[w] + jnp.where(do_flush, 1, 0)
+                        gcur = gcur + jnp.where(do_flush, 1, 0)
+                        dead = dead | jnp.where(died, 1 << w, 0)
+                        # on a failed allocation, drop the tail and stop
+                        # appending for this child (sticky; a chain with
+                        # a hole would misalign the next level's counts)
+                        tcs[w] = jnp.where(
+                            do_flush, tc - C, jnp.where(died, 0, tc)
+                        )
+                    else:
+                        tc = jnp.where(dest_w >= 0, tcs[w] + n_w, tcs[w])
+                        flush_w = tc >= C
+
+                        @pl.when(flush_w)
+                        def _(w=w, dest_w=dest_w):
+                            @pl.when(fchunks[w] >= 0)
+                            def _():
+                                pltpu.make_async_copy(
+                                    fbuf.at[w],
+                                    queue_out.at[
+                                        :, pl.ds(fchunks[w] * C, C)
+                                    ],
+                                    fsem.at[w],
+                                ).wait()
+
+                            fbuf[w, ...] = tails[w, :, 0:C]
+                            pltpu.make_async_copy(
+                                fbuf.at[w],
+                                queue_out.at[
+                                    :, pl.ds((dest_w + fls[w]) * C, C)
+                                ],
+                                fsem.at[w],
+                            ).start()
+                            tails[w, ...] = pltpu.roll(
+                                tails[w, ...], C, axis=1
+                            )
+
+                        fchunks[w] = jnp.where(
+                            flush_w, dest_w + fls[w], fchunks[w]
+                        )
+                        fls[w] = fls[w] + jnp.where(flush_w, 1, 0)
+                        tcs[w] = tc - jnp.where(flush_w, C, 0)
+
+                return (ltcnt, log_chunk, ldrop, lfchunk, *fchunks,
+                        gcacc, *tcs, *fls, gcur, dead, *napp)
+
+            ch0 = (
+                ltcnt, log_chunk, ldrop, lfchunk, *fchunks,
+                jnp.zeros((1, 128), jnp.float32),  # gc accumulator
+                *([jnp.int32(0)] * W),  # tail counts
+                *([jnp.int32(0)] * W),  # flushed chunks
+                gcur,  # dyn_alloc bump cursor
+                jnp.int32(0),  # dyn_alloc dead-child bitmask
+                *([jnp.int32(0)] * W),  # dyn_alloc attempted appends
+            )
+            ch = jax.lax.fori_loop(0, nchunks, chunk_body, ch0)
+            (ltcnt, log_chunk, ldrop, lfchunk) = ch[0:4]
+            fchunks = list(ch[4:4 + W])
+            gc_ref[pl.ds(s, 1), :] = ch[4 + W]
+            tcs = list(ch[5 + W:5 + 2 * W])
+            fls = list(ch[5 + 2 * W:5 + 3 * W])
+            gcur = ch[5 + 3 * W]
+            dead = ch[6 + 3 * W]
+            napp = list(ch[7 + 3 * W:7 + 4 * W])
+
+            # final partial flush per child (full-CHUNK write; regions
+            # are CHUNK-granular so this never crosses into a neighbor)
+            if dyn_alloc:
+                app_row = jnp.zeros((1, 128), jnp.float32)
+                seg_drop = jnp.int32(0)
+                for w in range(W):
+                    alive_w = ((dead >> w) & 1) == 0
+                    final_w = (tcs[w] > 0) & alive_w & (gcur < capW)
+
+                    @pl.when(final_w)
+                    def _(w=w, gcur=gcur):
+                        @pl.when(fchunks[w] >= 0)
+                        def _():
+                            pltpu.make_async_copy(
+                                fbuf.at[w],
+                                queue_out.at[:, pl.ds(fchunks[w] * C, C)],
+                                fsem.at[w],
+                            ).wait()
+
+                        fbuf[w, ...] = tails[w, :, 0:C]
+                        pltpu.make_async_copy(
+                            fbuf.at[w],
+                            queue_out.at[:, pl.ds(gcur * C, C)],
+                            fsem.at[w],
+                        ).start()
+                        tags_ref[...] = jnp.where(
+                            laneT == gcur,
+                            cpair[s * W + w].astype(jnp.float32),
+                            tags_ref[...],
+                        )
+
+                    fchunks[w] = jnp.where(final_w, gcur, fchunks[w])
+                    gcur = gcur + jnp.where(final_w, 1, 0)
+                    written = fls[w] * C + jnp.where(final_w, tcs[w], 0)
+                    app_row = jnp.where(
+                        lane128 == w, written.astype(jnp.float32), app_row
+                    )
+                    seg_drop = seg_drop + (napp[w] - written)
+                app_ref[pl.ds(s, 1), :] = app_row
+                ldrop = ldrop + seg_drop
+            else:
+                for w in range(W):
+                    dest_w = cdest[s * W + w]
+                    final_w = tcs[w] > 0
+
+                    @pl.when(final_w)
                     def _(w=w, dest_w=dest_w):
                         @pl.when(fchunks[w] >= 0)
                         def _():
@@ -776,69 +955,24 @@ def _pack_kernel(
                         fbuf[w, ...] = tails[w, :, 0:C]
                         pltpu.make_async_copy(
                             fbuf.at[w],
-                            queue_out.at[:, pl.ds((dest_w + fls[w]) * C, C)],
+                            queue_out.at[
+                                :, pl.ds((dest_w + fls[w]) * C, C)
+                            ],
                             fsem.at[w],
                         ).start()
-                        tails[w, ...] = pltpu.roll(
-                            tails[w, ...], C, axis=1
-                        )
 
                     fchunks[w] = jnp.where(
-                        flush_w, dest_w + fls[w], fchunks[w]
+                        final_w, dest_w + fls[w], fchunks[w]
                     )
-                    fls[w] = fls[w] + jnp.where(flush_w, 1, 0)
-                    tcs[w] = tc - jnp.where(flush_w, C, 0)
 
-                return (ltcnt, log_chunk, ldrop, lfchunk, *fchunks,
-                        gcacc, *tcs, *fls)
-
-            ch0 = (
-                ltcnt, log_chunk, ldrop, lfchunk, *fchunks,
-                jnp.zeros((1, 128), jnp.float32),  # gc accumulator
-                *([jnp.int32(0)] * W),  # tail counts
-                *([jnp.int32(0)] * W),  # flushed chunks
-            )
-            ch = jax.lax.fori_loop(0, nchunks, chunk_body, ch0)
-            (ltcnt, log_chunk, ldrop, lfchunk) = ch[0:4]
-            fchunks = list(ch[4:4 + W])
-            gc_ref[pl.ds(s, 1), :] = ch[4 + W]
-            tcs = list(ch[5 + W:5 + 2 * W])
-            fls = list(ch[5 + 2 * W:5 + 3 * W])
-
-            # final partial flush per child (full-CHUNK write; regions
-            # are CHUNK-granular so this never crosses into a neighbor)
-            for w in range(W):
-                dest_w = cdest[s * W + w]
-                final_w = tcs[w] > 0
-
-                @pl.when(final_w)
-                def _(w=w, dest_w=dest_w):
-                    @pl.when(fchunks[w] >= 0)
-                    def _():
-                        pltpu.make_async_copy(
-                            fbuf.at[w],
-                            queue_out.at[:, pl.ds(fchunks[w] * C, C)],
-                            fsem.at[w],
-                        ).wait()
-
-                    fbuf[w, ...] = tails[w, :, 0:C]
-                    pltpu.make_async_copy(
-                        fbuf.at[w],
-                        queue_out.at[:, pl.ds((dest_w + fls[w]) * C, C)],
-                        fsem.at[w],
-                    ).start()
-
-                fchunks[w] = jnp.where(
-                    final_w, dest_w + fls[w], fchunks[w]
-                )
-
-            return (ltcnt, log_chunk, ldrop, lfchunk, *fchunks)
+            return (ltcnt, log_chunk, ldrop, lfchunk, *fchunks, gcur)
 
         return jax.lax.cond(cnt > 0, process, lambda c: c, carry)
 
     carry0 = (
         ltcnt0, log_chunk0, jnp.int32(0), jnp.int32(-1),
         *([jnp.int32(-1)] * W),
+        jnp.int32(0),  # dyn_alloc global chunk cursor
     )
     carry = jax.lax.fori_loop(0, nsegs[0], seg_body, carry0, unroll=False)
     (ltcnt, log_chunk, ldrop, lfchunk) = carry[0:4]
@@ -918,16 +1052,17 @@ def _run_count(queue, node_packed, seg_node, seg_base, seg_count, cmask,
 
 def _run_pack(queue_in, node_packed, prim_packed, log_in,
               seg_node, seg_base, seg_count, cdest, ckind, clstart, clcnt,
-              cforce, cgc, cursor, nsegs,
+              cforce, cgc, cursor, nsegs, ctab, cpair,
               width: int, k8: int, cols_out: int, do_kill: bool,
               kill_eps: float, logcap: int, box_bf16: bool = False,
-              fused_gc: bool = False):
+              fused_gc: bool = False, dyn_alloc: bool = False):
     Sp = seg_node.shape[0]
+    capT = max(_cdiv(cols_out // CHUNK, 128) * 128, 128)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=11,
+        num_scalar_prefetch=13,
         grid=(1,),
         in_specs=[_HBM(), _ANY(), _ANY(), _HBM()],
-        out_specs=(_HBM(), _HBM(), _SMEM(), _VMEM()),
+        out_specs=(_HBM(), _HBM(), _SMEM(), _VMEM(), _VMEM(), _VMEM()),
         scratch_shapes=[
             pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((1, 128), jnp.float32),
@@ -952,22 +1087,25 @@ def _run_pack(queue_in, node_packed, prim_packed, log_in,
         functools.partial(
             _pack_kernel, width=width, k8=k8, do_kill=do_kill,
             kill_eps=kill_eps, logcap=logcap, box_bf16=box_bf16,
-            fused_gc=fused_gc,
+            fused_gc=fused_gc, dyn_alloc=dyn_alloc,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((ROWS, cols_out), jnp.float32),
             jax.ShapeDtypeStruct(log_in.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
             jax.ShapeDtypeStruct((Sp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Sp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, capT), jnp.float32),
         ),
         grid_spec=grid_spec,
-        # operand 14 = log_in (11 scalars + queue, node, prim), aliased
+        # operand 16 = log_in (13 scalars + queue, node, prim), aliased
         # to output 1 so the hit log accumulates across levels
-        input_output_aliases={14: 1},
+        input_output_aliases={16: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_INTERPRET,
     )(seg_node, seg_base, seg_count, cdest, ckind, clstart, clcnt, cforce,
-      cgc, cursor, nsegs, queue_in, node_packed, prim_packed, log_in)
+      cgc, cursor, nsegs, ctab, cpair,
+      queue_in, node_packed, prim_packed, log_in)
 
 
 # ---------------------------------------------------------------------------
@@ -1000,6 +1138,7 @@ def trace_closest_wavefront(
     debug_merge_branch: bool = False,
     want_prim: bool = True,
     fused_counts: bool = False,
+    dyn_alloc: bool = False,
     seed_t: jnp.ndarray = None,
     seed_prim: jnp.ndarray = None,
 ) -> WaveTraceResult:
@@ -1016,6 +1155,17 @@ def trace_closest_wavefront(
     every downstream kernel sweep and the merge cascade scale with
     liveness instead of N.  No inverse permutation is needed — the
     merge scatters by the ray id carried in payload row 6.
+
+    ``dyn_alloc=True`` replaces the per-level count kernel (a full HBM
+    sweep that only computes write offsets) with bump-cursor chunk
+    allocation inside the pack kernel: each flushed [8, CHUNK] block
+    takes the next physical chunk of queue_out and records its
+    next-level segment id in a tag row; the host derives the next
+    level's read order as a stable argsort of the tags (bit-identical
+    to contiguous regions — chunks of one segment stay in entry order).
+    Measured a wash on v5e (BENCHNOTES: 706 vs 711 ms on the
+    bench-shaped bounce pass) — the count sweep it saves costs about
+    what the lost read contiguity adds — kept off by default.
     """
     bvh = scene.bvh
     sched = bvh.wf_sched
@@ -1094,6 +1244,10 @@ def trace_closest_wavefront(
     seg_base = jnp.zeros((1,), jnp.int32)
     seg_count = count0
     gc_prev = None
+    # dyn_alloc chunk table: level 0 reads the payload contiguously
+    ctab = jnp.arange(max(queue.shape[1] // C, 1), dtype=jnp.int32)
+    if dyn_alloc:
+        fused_counts = False  # dyn_alloc already subsumes the count fuse
 
     for lvl, (seg_nodes, kind, pair, lstart, lcnt, forced) in enumerate(
         sched
@@ -1121,7 +1275,17 @@ def trace_closest_wavefront(
         seg_count_p = jnp.zeros((Sp,), jnp.int32).at[:S].set(seg_count)
 
         has_inner = any(k == 1 for k in kind)
-        if has_inner:
+        if dyn_alloc:
+            # no pre-counting: the pack kernel bump-allocates output
+            # chunks and reports per-child written counts + chunk tags;
+            # destination regions are derived AFTER the pack
+            cdest_a = jnp.zeros((SWp,), jnp.int32)
+            cpair_a = pad_i32(
+                [p if k == 1 else -1 for k, p in zip(kind, pair)],
+                -1, SWp,
+            )
+            cols_out = cols if has_inner else C
+        elif has_inner:
             cmask_a = pad_i32(
                 [1 if k == 1 else 0 for k in kind], 0, SWp
             )
@@ -1213,12 +1377,15 @@ def trace_closest_wavefront(
         else:
             cgc_a = pad_i32([], 0, SWp)
 
-        queue_new, log, currow, gc_out = _run_pack(
+        if not dyn_alloc:
+            cpair_a = jnp.full((SWp,), -1, jnp.int32)
+        queue_new, log, currow, gc_out, app_out, tags_out = _run_pack(
             queue, bvh.node_packed, scene.prim_packed, log,
             seg_node_a, seg_base_p, seg_count_p, cdest_a, ckind_a,
             clstart_a, clcnt_a, cforce_a, cgc_a, cursor, nsegs_a,
+            ctab, cpair_a,
             W, k8, cols_out, do_kill, kill_eps, logcap, box_bf16,
-            fused_gc=fuse_next,
+            fused_gc=fuse_next, dyn_alloc=dyn_alloc,
         )
         gc_prev = (gc_out, np.asarray(pair, np.int32), Sp) \
             if fuse_next else None
@@ -1228,8 +1395,28 @@ def trace_closest_wavefront(
         if not has_inner:
             break
         queue = queue_new
-        seg_base = base_next.astype(jnp.int32)
-        seg_count = count_next.astype(jnp.int32)
+        if dyn_alloc:
+            # next level's segment sizes = this pack's written counts;
+            # its read chunk table = the allocation order grouped by
+            # next-segment tag (stable sort keeps per-segment chunks in
+            # entry order, so results are bit-identical to contiguous
+            # regions)
+            pair_np = np.asarray(pair, np.int32)
+            S_next = len(sched[lvl + 1][0])
+            inv = np.zeros((S_next,), np.int64)
+            for i, c in enumerate(pair_np):
+                if 0 <= c < S_next:
+                    inv[c] = i
+            flat_written = app_out[:, :W].reshape(Sp * W)
+            count_next = flat_written[jnp.asarray(inv)].astype(jnp.int32)
+            chunks_next = (count_next + C - 1) // C
+            cum = jnp.cumsum(chunks_next)
+            seg_base = (cum - chunks_next).astype(jnp.int32)
+            seg_count = count_next
+            ctab = jnp.argsort(tags_out[0], stable=True).astype(jnp.int32)
+        else:
+            seg_base = base_next.astype(jnp.int32)
+            seg_count = count_next.astype(jnp.int32)
 
     # ---- deterministic merge of the hit log ----
     if debug_no_merge:  # timing diagnostics only — wrong results;

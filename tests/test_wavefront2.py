@@ -281,6 +281,52 @@ def test_want_prim_false_same_t(soup_scene):
     np.testing.assert_array_equal(pa < 0, pb == -1)
 
 
+def test_dyn_alloc_matches_legacy(soup_scene):
+    """Chunk-chained dynamic queue allocation (bump-cursor regions +
+    tag-sorted chunk table, no count kernel) must be bit-identical to
+    the pre-counted legacy layout: the stable argsort of allocation
+    tags preserves per-segment chunk order, so every entry lands in
+    the same relative position."""
+    o, d = random_rays(2 * wf2.CHUNK, seed=43, origin_box=3.0)
+    valid = jnp.asarray((np.arange(o.shape[0]) % 7) != 3)
+    a = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, dyn_alloc=True
+    )
+    b = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, dyn_alloc=False
+    )
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(
+        np.asarray(a.prim), np.asarray(b.prim)
+    )
+    assert int(a.dropped) == int(b.dropped) == 0
+
+
+def test_dyn_alloc_shadow_and_compact(soup_scene):
+    o, d = random_rays(wf2.CHUNK, seed=44, origin_box=3.0)
+    n = o.shape[0]
+    valid = jnp.ones((n,), bool)
+    full = trace_bruteforce(soup_scene, o, d, valid)
+    t_hit = jnp.where(full.prim >= 0, full.t, 2.0)
+    max_t = t_hit * jnp.where(jnp.arange(n) % 3 == 0, 0.5, 1.5)
+    a = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, t_limit=max_t, dyn_alloc=True
+    )
+    b = wf2.trace_closest_wavefront(
+        soup_scene, o, d, valid, t_limit=max_t, dyn_alloc=False
+    )
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    # compacted path composes with dyn_alloc
+    sparse = jnp.asarray((np.arange(n) % 5) == 0)
+    c = wf2.trace_closest_wavefront(
+        soup_scene, o, d, sparse, dyn_alloc=True, compact=True
+    )
+    e = wf2.trace_closest_wavefront(
+        soup_scene, o, d, sparse, dyn_alloc=False, compact=False
+    )
+    np.testing.assert_array_equal(np.asarray(c.t), np.asarray(e.t))
+
+
 def test_fused_counts_match_count_kernel(soup_scene):
     """Fused grandchild counting in the pack kernel must reproduce the
     count kernel's numbers exactly (same _box_terms arithmetic on the
