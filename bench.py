@@ -57,15 +57,23 @@ def main():
         nee_schedule=((1, 1.0), (1, 1.0), (1, 1.0), (1, 1.0)),
         tree_width=TREE_W,
         max_leaf_size=MAX_LEAF,
-        sample_order="tiles8",
+        # packet-correlated secondary sampling (BENCHNOTES r3
+        # "shared-u"): sample-major 32x32 tiles + one secondary draw
+        # per 1024-lane packet makes bounce/shadow packets coherent by
+        # construction (unbiased; per-pixel variance unchanged).
+        # Interleaved A/B (tools/ab_engine.py shared vs seeded):
+        # 2.53 vs 2.77 s/frame.
+        sample_order="tiles32s",
+        rng_granule=1024,
         rr_start_depth=2,
         # per-pass hybrid (tools/bench_passes.py, BENCHNOTES r3): DFS
-        # wins coherent depth-0 passes (primary 100 Mrays/s), the
-        # queue-based wavefront2 is coherence-insensitive and wins the
-        # incoherent depth>=1 passes ~3-4x (669 vs 2761 ms on
-        # bounce-d1)
+        # wins coherent depth-0 passes (primary 100 Mrays/s) and — under
+        # shared-u — the d1 secondary passes (a wash vs wavefront2,
+        # minus the seed sweeps); compacted wavefront2 keeps the
+        # RR-thinned depths (shareddfs variant loses 0.6 s/frame)
         traversal="dfs",
-        traversal_secondary="pallas",
+        traversal_secondary="dfs",
+        traversal_rr="pallas",
         **({"seed_k": int(SEED_K)} if SEED_K is not None else {}),
         **({"seed_primary": os.environ["BENCH_SEEDPRIM"] == "1"}
            if "BENCH_SEEDPRIM" in os.environ else {}),
@@ -82,8 +90,12 @@ def main():
     # rays per frame: camera + per-depth (NEE * lights) + bounces
     rays_per_frame = r.mrays_per_frame * 1e6
 
-    # warmup / compile
-    r.render()
+    # warmup / compile a FULL accumulation cycle: the film executable
+    # differs below/above post_process_threshold (median filter on/off),
+    # so a single warmup frame would leave the no-median variant to
+    # compile inside the timed region (~0.5 s, tools/probe_sync.py)
+    while r.image_samples < TOTAL_SPP:
+        r.render()
     r._reset_accumulation()
 
     t0 = time.perf_counter()

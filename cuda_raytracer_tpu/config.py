@@ -47,7 +47,31 @@ class RenderConfig:
     #: with a pixel's samples consecutive.  Tiles make each 1024-ray
     #: traversal packet cover one image tile, which shrinks the
     #: packet-union working set 3-6x at 16 spp (tools/sim_spp.py).
+    #: "tiles32s" = SAMPLE-major 32x32-pixel tiles: slot = s*(W*H) +
+    #: tile-rank, so a 1024-slot packet holds one sample index of one
+    #: tile — required by rng_granule (a pixel's spp samples land in
+    #: spp different packets, so packet-shared draws stay independent
+    #: per sample).
     sample_order: str = "raster"
+    #: draw secondary-sampling uniforms (hemisphere scatter + NEE light
+    #: point) once per `rng_granule` consecutive ray slots instead of
+    #: per ray.  With the tiles32s layout and granule=packet size,
+    #: every ray in a traversal packet leaving a flat surface shares an
+    #: exact direction (or aims at one light point) — bounce/shadow
+    #: packets become coherent BY CONSTRUCTION, the regime packet-DFS
+    #: is ~7x faster in (tools/probe_shared_u.py).  Unbiased, and
+    #: per-pixel variance is unchanged (each pixel's spp samples use
+    #: spp distinct draws — only cross-pixel noise correlation within a
+    #: tile appears, i.e. blotch-shaped instead of white noise at low
+    #: spp).  1 = independent per-ray draws (the reference's cuRAND
+    #: behavior, src/samplers.cu_inl).
+    rng_granule: int = 1
+    #: traversal backend for RR-thinned depths (>= rr_start_depth);
+    #: "" = same as traversal_secondary.  Compacted wavefront2 beats
+    #: packet-DFS there even under shared-u coherence (the partition
+    #: packs live lanes densely; tools/probe_shared_u2.py: d3 149 vs
+    #: 317 ms).
+    traversal_rr: str = ""
     #: fuse the whole frame into one jit executable: "auto" = yes on
     #: TPU (each separate dispatch through the runtime costs ~10-30 ms;
     #: a frame makes 30+), no elsewhere (per-stage jits compile much
@@ -158,8 +182,34 @@ class RenderConfig:
             raise ValueError(f"unknown traversal {self.traversal!r}")
         if self.shard_mode not in ("samples", "tiles"):
             raise ValueError(f"unknown shard_mode {self.shard_mode!r}")
-        if self.sample_order not in ("raster", "tiles8"):
+        if self.sample_order not in ("raster", "tiles8", "tiles32s"):
             raise ValueError(f"unknown sample_order {self.sample_order!r}")
+        if self.sample_order == "tiles32s" and self.width % 32:
+            raise ValueError(
+                "sample_order='tiles32s' requires width to be a "
+                f"multiple of 32, got {self.width} (height may be "
+                "arbitrary; the last tile row packs densely)"
+            )
+        if self.rng_granule < 1 or (
+            self.rng_granule > 1 and self.rng_granule % 128
+        ):
+            raise ValueError(
+                f"rng_granule must be 1 or a multiple of 128, got "
+                f"{self.rng_granule}"
+            )
+        if self.rng_granule > 1 and self.sample_order != "tiles32s":
+            # pixel-major orders put a pixel's spp samples in the SAME
+            # granule, so sharing draws across a granule would correlate
+            # them and per-pixel variance would stop shrinking with spp
+            raise ValueError(
+                "rng_granule > 1 requires the sample-major "
+                "sample_order='tiles32s' (pixel-major orders would "
+                "share draws between a pixel's own samples)"
+            )
+        if self.traversal_rr not in (
+            "", "auto", "dfs", "pallas", "pallas1", "xla"
+        ):
+            raise ValueError(f"unknown traversal_rr {self.traversal_rr!r}")
         if self.fuse_frame not in ("auto", "yes", "no"):
             raise ValueError(f"unknown fuse_frame {self.fuse_frame!r}")
         if self.traversal_secondary not in (

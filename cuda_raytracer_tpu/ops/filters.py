@@ -11,16 +11,21 @@ import jax.numpy as jnp
 
 
 def reconstruct(sample_light: jnp.ndarray, width: int, height: int, spp: int,
-                inv_order=None):
+                inv_order=None, sample_major: bool = False):
     """Box-filter the per-sample radiance into an image
     (kernelReconstructImage, src/cudaRenderer.cu:705-718).
 
     sample_light: [W*H*spp, 3] with each pixel's spp samples
-    consecutive.  With the default raster order, sample slot p covers
-    pixel p; with a swizzled sample order pass ``inv_order`` ([H*W]
-    i32, inv_order[pixel] = slot) to un-swizzle.  Returns [H, W, 3].
+    consecutive (or, with ``sample_major=True``, all pixels of sample
+    0 first — the tiles32s layout).  With the default raster order,
+    sample slot p covers pixel p; with a swizzled sample order pass
+    ``inv_order`` ([H*W] i32, inv_order[pixel] = slot) to un-swizzle.
+    Returns [H, W, 3].
     """
-    means = sample_light.reshape(-1, spp, 3).mean(axis=1)
+    if sample_major:
+        means = sample_light.reshape(spp, -1, 3).mean(axis=0)
+    else:
+        means = sample_light.reshape(-1, spp, 3).mean(axis=1)
     if inv_order is not None:
         means = means[inv_order]
     return means.reshape(height, width, 3)

@@ -61,20 +61,65 @@ def _norm(v, eps=1e-20):
 
 
 def _pix_from_slot(pix, width, height, pix_order):
-    """Map sample-slot pixel index -> actual pixel id.  "tiles8" uses
-    closed-form 8x8-tile arithmetic (a [N] table gather costs a full
-    pass on TPU); an array maps arbitrarily; None is raster order."""
+    """Map sample-slot pixel index -> actual pixel id.  "tiles8" /
+    "tiles32s" use closed-form tile arithmetic (a [N] table gather
+    costs a full pass on TPU); an array maps arbitrarily; None is
+    raster order."""
     if pix_order is None:
         return pix
     if isinstance(pix_order, str):
-        assert pix_order == "tiles8", pix_order
-        tx_count = width // 8
-        tile, within = pix // 64, pix % 64
-        ty, tx = tile // tx_count, tile % tx_count
-        py = ty * 8 + within // 8
-        px = tx * 8 + within % 8
+        if pix_order == "tiles8":
+            tx_count = width // 8
+            tile, within = pix // 64, pix % 64
+            ty, tx = tile // tx_count, tile % tx_count
+            py = ty * 8 + within // 8
+            px = tx * 8 + within % 8
+            return py * width + px
+        assert pix_order == "tiles32s", pix_order
+        # 32x32-pixel tiles; a partial last tile row (height % 32) is
+        # packed densely so the rank is a bijection onto [0, W*H)
+        t = 32
+        ntx = width // t
+        full_rows = height // t
+        rem = height % t
+        q_full_end = full_rows * ntx * t * t
+        # full-tile region
+        tr_f = pix // (ntx * t * t)
+        w_f = pix % (ntx * t * t)
+        tx_f, v_f = w_f // (t * t), w_f % (t * t)
+        py_f = tr_f * t + v_f // t
+        px_f = tx_f * t + v_f % t
+        if rem == 0:
+            return py_f * width + px_f
+        # partial last tile row (tiles are rem x 32 pixels)
+        q2 = pix - q_full_end
+        cells = rem * t
+        tx_p, v_p = q2 // cells, q2 % cells
+        py_p = full_rows * t + v_p // t
+        px_p = tx_p * t + v_p % t
+        in_full = pix < q_full_end
+        py = jnp.where(in_full, py_f, py_p)
+        px = jnp.where(in_full, px_f, px_p)
         return py * width + px
     return pix_order[pix]
+
+
+def tiles32s_rank(width: int, height: int):
+    """Numpy pixel-id -> slot-rank table for sample_order='tiles32s'
+    (the forward map of _pix_from_slot's inverse; used by the engine's
+    film reconstruction)."""
+    import numpy as _np
+
+    t = 32
+    ntx = width // t
+    full_rows = height // t
+    py, px = _np.meshgrid(_np.arange(height), _np.arange(width),
+                          indexing="ij")
+    tr = py // t
+    th = _np.where(tr < full_rows, t, height % t)
+    rank = (tr * ntx * t * t + (px // t) * (th * t)
+            + (py % t) * t + px % t)
+    return rank.reshape(-1)
 
 
 def generate_camera_rays(
@@ -96,11 +141,16 @@ def generate_camera_rays(
     With ``pix_order`` ([W*H] i32), slot p instead covers pixel
     pix_order[p] — used for tile-swizzled sample order (cfg
     sample_order="tiles8") so traversal packets cover compact image
-    tiles.  Returns (o, d) [N, 3] float32.
+    tiles.  pix_order="tiles32s" is SAMPLE-major: slot i covers sample
+    s = i // (W*H) of the pixel at tiles32 rank i % (W*H), so every
+    1024-slot traversal packet holds ONE sample index of one 32x32
+    tile — the layout packet-correlated sampling (cfg.rng_granule)
+    requires.  Returns (o, d) [N, 3] float32.
     """
     n = width * height * spp
     i = jnp.arange(n, dtype=jnp.int32)
-    pix = _pix_from_slot(i // spp, width, height, pix_order)
+    pslot = i % (width * height) if pix_order == "tiles32s" else i // spp
+    pix = _pix_from_slot(pslot, width, height, pix_order)
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
     u = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
@@ -131,7 +181,8 @@ def generate_camera_rays_cutracer(
     inverted up vector."""
     n = width * height * spp
     i = jnp.arange(n, dtype=jnp.int32)
-    pix = _pix_from_slot(i // spp, width, height, pix_order)
+    pslot = i % (width * height) if pix_order == "tiles32s" else i // spp
+    pix = _pix_from_slot(pslot, width, height, pix_order)
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
     u = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
@@ -423,10 +474,15 @@ def scatter(
     key,
     origin_eps: float = 1e-3,
     hemisphere_sampling: str = "uniform",
+    u=None,
 ):
     """Sample the next path direction at every vertex
     (kernelProcessIntersections, src/cudaRenderer.cu:544-664, extended
     with refraction/glass).
+
+    ``u``: optional [N, 2] uniforms for the hemisphere sample — lets
+    the caller substitute packet-correlated draws (cfg.rng_granule;
+    see render/bounce.py) for the default independent-per-ray ones.
 
     Returns (o, d, importance', valid, count_emission): count_emission
     marks vertices whose *next* hit should add emission (delta lobes,
@@ -439,7 +495,8 @@ def scatter(
     ior = scene.bsdf_ior[hit.bsdf]
 
     k_hemi, k_fresnel = jax.random.split(key)
-    u = jax.random.uniform(k_hemi, (n.shape[0], 2), dtype=jnp.float32)
+    if u is None:
+        u = jax.random.uniform(k_hemi, (n.shape[0], 2), dtype=jnp.float32)
 
     # ---- diffuse ----
     if hemisphere_sampling == "cosine":

@@ -45,21 +45,38 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False,
     invocation — every 2nd call then failed with INVALID_ARGUMENT on
     the axon runtime.  Keep imports out of traced code.
     """
-    kind = (cfg.traversal_secondary or cfg.traversal) if secondary \
-        else cfg.traversal
+    if compact:
+        # RR-thinned depths get their own backend choice: compacted
+        # wavefront2 beats packet-DFS there even when shared-u
+        # sampling has made the live lanes coherent (the partition
+        # packs them densely; tools/probe_shared_u2.py)
+        kind = (cfg.traversal_rr or cfg.traversal_secondary
+                or cfg.traversal)
+    elif secondary:
+        kind = cfg.traversal_secondary or cfg.traversal
+    else:
+        kind = cfg.traversal
     auto = kind == "auto"
     if auto:
         kind = "dfs" if jax.default_backend() == "tpu" else "xla"
 
-    def seeds_for(scene, o, d, valid):
+    def seeds_for(scene, o, d, valid, backend="pallas"):
         """Conservative per-ray upper bounds from the K largest prims
-        (ops/seeds.py) — pruning + merge-shrinking for both Pallas
-        backends; (None, None) when disabled or the scene has no seed
+        (ops/seeds.py) — pruning + merge-shrinking for the wavefront
+        backend; (None, None) when disabled or the scene has no seed
         rows.  Compacted (RR-thinned) passes skip seeding: the dense
         sweep runs over the FULL ray population while the savings
         scale with the live fraction — measured a net loss at
-        0.11-0.26 live (tools/ab_interleave.py seedcompact rows)."""
+        0.11-0.26 live (tools/ab_interleave.py seedcompact rows).
+        The packet-DFS backend skips seeding entirely unless
+        cfg.seed_primary forces it: its packets carry evolving
+        per-lane bounds that tighten on the first wall hit, so the
+        96 ms sweep buys nothing (measured losses on primary, on
+        shadow-d0 — tools/probe_shadow0.py — and on shared-u
+        secondary passes)."""
         use = cfg.seed_k and scene.seed_rows is not None and not compact
+        if use and backend == "dfs" and not cfg.seed_primary:
+            use = False
         if use and not secondary and not cfg.seed_primary:
             use = False
         if use:
@@ -88,7 +105,7 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False,
                         secondary=secondary,
                     )
                 return fallback(scene, o, d, valid, t_limit)
-            st, sp = seeds_for(scene, o, d, valid)
+            st, sp = seeds_for(scene, o, d, valid, backend="dfs")
             # large scenes: tables stay HBM-resident (auto inside);
             # explicit traversal='dfs' keeps the same behavior
             return trace_closest_packets(

@@ -41,6 +41,20 @@ def make_stage_fns(cfg: RenderConfig):
         cfg, secondary=True, compact=True
     ) if cfg.compact_secondary else trace_secondary
 
+    def draw_u2(key, n):
+        """[n, 2] uniforms for a secondary sampling decision.  With
+        rng_granule > 1 the draw is shared by every ray slot in a
+        granule (one draw per traversal packet under the tiles32s
+        layout — packets leaving a flat surface then share an exact
+        direction, making secondary passes coherent by construction;
+        see cfg.rng_granule).  Per-pixel stratification is preserved:
+        a pixel's spp samples sit in spp different granules."""
+        g = cfg.rng_granule
+        if g > 1 and n % g == 0:
+            u = jax.random.uniform(key, (n // g, 2), dtype=jnp.float32)
+            return jnp.repeat(u, g, axis=0)
+        return jax.random.uniform(key, (n, 2), dtype=jnp.float32)
+
     def shade_hit(scene, o, d, t, prim, valid, importance, light,
                   count_emission):
         hit = S.compute_hits(scene, o, d, t, prim, cfg.origin_eps)
@@ -57,7 +71,7 @@ def make_stage_fns(cfg: RenderConfig):
         return hit, light
 
     def nee_prep(scene, hit, importance, key, li, weight):
-        u = jax.random.uniform(key, (hit.t.shape[0], 2), dtype=jnp.float32)
+        u = draw_u2(key, hit.t.shape[0])
         return S.nee_shadow_rays(
             scene, hit, importance, li, u, weight,
             compat_two_sided=cfg.reference_compat,
@@ -70,8 +84,10 @@ def make_stage_fns(cfg: RenderConfig):
         return light + jnp.where((ok & passes)[:, None], li_imp, 0.0)
 
     def scatter(scene, hit, importance, key):
+        u = draw_u2(jax.random.fold_in(key, 17), hit.t.shape[0]) \
+            if cfg.rng_granule > 1 else None
         return S.scatter(scene, hit, importance, key,
-                         cfg.origin_eps, cfg.hemisphere_sampling)
+                         cfg.origin_eps, cfg.hemisphere_sampling, u=u)
 
     return {
         "trace": trace,

@@ -144,6 +144,14 @@ class WavefrontRenderer:
             rank = rank.reshape(-1)
             self._pix_order = "tiles8"  # raygen uses tile arithmetic
             self._inv_order = jnp.asarray(rank, jnp.int32)
+        elif cfg.sample_order == "tiles32s":
+            # sample-major 32x32 tiles (see ops/shade.tiles32s_rank);
+            # slot j covers sample j // (W*H) of the pixel at tile
+            # rank j % (W*H)
+            self._pix_order = "tiles32s"
+            self._inv_order = jnp.asarray(
+                S.tiles32s_rank(cfg.width, cfg.height), jnp.int32
+            )
         else:
             self._pix_order = None
             self._inv_order = None
@@ -168,7 +176,9 @@ class WavefrontRenderer:
         def film(light, final_img, image_samples, with_median=True):
             img = F.reconstruct(light, cfg.width, cfg.height,
                                 cfg.samples_per_frame,
-                                inv_order=self._inv_order)
+                                inv_order=self._inv_order,
+                                sample_major=cfg.sample_order
+                                == "tiles32s")
             final = F.accumulate(
                 final_img, img,
                 image_samples.astype(jnp.float32),
@@ -217,6 +227,11 @@ class WavefrontRenderer:
                 for depth in range(cfg.max_depth)
             ]
             film_jit = jax.jit(film, static_argnums=(3,))
+            # exposed for diagnostics (tools/profile_engine.py times
+            # each per-depth executable with forced readbacks)
+            self._raygen_frame_jit = raygen_jit
+            self._depth_jits = depth_jits
+            self._film_jit = film_jit
 
             def run(scene, cam_arrays, key, final_img, image_samples):
                 import os as _os

@@ -28,6 +28,17 @@ VARIANTS = {
     "seed32": {"seed_k": 32},
     "bf16": {"slab_bf16": True},
     "fc": {},  # placeholder for future knobs
+    # packet-correlated sampling (r3): sample-major 32x32 tiles +
+    # shared draws per 1024-lane packet; secondary passes coherent by
+    # construction -> packet-DFS everywhere except RR-thinned depths
+    "shared": {"sample_order": "tiles32s", "rng_granule": 1024,
+               "traversal_secondary": "dfs", "traversal_rr": "pallas"},
+    # same but keep wavefront2 on secondary passes (isolates the
+    # sampling change from the backend switch)
+    "sharedwf2": {"sample_order": "tiles32s", "rng_granule": 1024},
+    # shared draws at granule 1024 but DFS also on RR depths
+    "shareddfs": {"sample_order": "tiles32s", "rng_granule": 1024,
+                  "traversal_secondary": "dfs", "traversal_rr": "dfs"},
 }
 
 
@@ -40,14 +51,15 @@ def main():
 
     rs = {}
     for nm in names:
-        cfg = RenderConfig(
+        kw = dict(
             width=800, height=600, samples_per_frame=32, total_samples=64,
             max_depth=4, nee_schedule=((1, 1.0),) * 4,
             sample_order="tiles8", rr_start_depth=2,
             tree_width=4, max_leaf_size=32,
             traversal="dfs", traversal_secondary="pallas",
-            **VARIANTS[nm],
         )
+        kw.update(VARIANTS[nm])
+        cfg = RenderConfig(**kw)
         r = WavefrontRenderer(cfg, camera_mode="collada")
         r.load_scene(SCENE)
         r.render()  # compile + warm
