@@ -66,6 +66,15 @@ class RenderConfig:
     #: spp).  1 = independent per-ray draws (the reference's cuRAND
     #: behavior, src/samplers.cu_inl).
     rng_granule: int = 1
+    #: with rng_granule > 1 and uniform hemisphere sampling, share one
+    #: uniform-SPHERE direction per granule and antithetically fold it
+    #: into each lane's hemisphere (d = sign(dot(w, n)) * w) instead of
+    #: sharing the local-frame uniforms: per-lane marginals are
+    #: identical (exact 1/2pi hemisphere pdf), but a packet then emits
+    #: at most TWO directions even across curved geometry, where
+    #: shared local uniforms still diverge (direction depends on the
+    #: lane's normal).  See ops/shade.scatter w_shared.
+    rng_fold_dirs: bool = True
     #: traversal backend for RR-thinned depths (>= rr_start_depth);
     #: "" = same as traversal_secondary.  Compacted wavefront2 beats
     #: packet-DFS there even under shared-u coherence (the partition

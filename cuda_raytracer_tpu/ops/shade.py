@@ -475,6 +475,7 @@ def scatter(
     origin_eps: float = 1e-3,
     hemisphere_sampling: str = "uniform",
     u=None,
+    w_shared=None,
 ):
     """Sample the next path direction at every vertex
     (kernelProcessIntersections, src/cudaRenderer.cu:544-664, extended
@@ -483,6 +484,17 @@ def scatter(
     ``u``: optional [N, 2] uniforms for the hemisphere sample — lets
     the caller substitute packet-correlated draws (cfg.rng_granule;
     see render/bounce.py) for the default independent-per-ray ones.
+
+    ``w_shared``: optional [N, 3] uniform-SPHERE directions (uniform
+    sampling only): the diffuse direction becomes the antithetic fold
+    ``d = sign(dot(w, n)) * w``, whose per-lane pdf is exactly the
+    uniform hemisphere around n (folding a 1/4pi sphere density doubles
+    it to 1/2pi) — identical marginals to the ``u`` path, but every
+    lane given the SAME w emits one of at most two (antipodal)
+    directions regardless of its normal.  With one w per rng_granule
+    this makes bounce packets coherent even across curved geometry,
+    where shared-``u`` still diverges (direction depends on each
+    lane's frame).
 
     Returns (o, d, importance', valid, count_emission): count_emission
     marks vertices whose *next* hit should add emission (delta lobes,
@@ -495,11 +507,21 @@ def scatter(
     ior = scene.bsdf_ior[hit.bsdf]
 
     k_hemi, k_fresnel = jax.random.split(key)
-    if u is None:
+    if u is None and w_shared is None:
         u = jax.random.uniform(k_hemi, (n.shape[0], 2), dtype=jnp.float32)
 
     # ---- diffuse ----
-    if hemisphere_sampling == "cosine":
+    if w_shared is not None:
+        if hemisphere_sampling != "uniform":
+            raise ValueError(
+                "w_shared (folded shared directions) requires "
+                "hemisphere_sampling='uniform'"
+            )
+        d_dif = w_shared * jnp.where(
+            _dot(w_shared, n) >= 0.0, 1.0, -1.0
+        )[:, None]
+        thr_dif = albedo * (2.0 * jnp.abs(_dot(d_dif, n)))[:, None]
+    elif hemisphere_sampling == "cosine":
         r = jnp.sqrt(u[:, 0])
         phi = 2.0 * jnp.pi * u[:, 1]
         d_local_dif = jnp.stack(
@@ -507,14 +529,13 @@ def scatter(
         )
         # f*cos/pdf = albedo (pdf = cos/pi)
         thr_dif = albedo
+        d_dif = _local_to_world(d_local_dif, dpdu, dpdv, n)
     else:
         s = _spherical_sample(u)
         d_local_dif = jnp.stack([s[:, 0], s[:, 1], jnp.abs(s[:, 2])], axis=-1)
+        d_dif = _local_to_world(d_local_dif, dpdu, dpdv, n)
         # f*cos/pdf = 2 * albedo * cos (pdf = 1/(2pi)) — the reference's
         # "*2" multiplier (cu:638)
-        thr_dif = None  # computed after world transform (needs cos)
-    d_dif = _local_to_world(d_local_dif, dpdu, dpdv, n)
-    if thr_dif is None:
         thr_dif = albedo * (2.0 * jnp.abs(_dot(d_dif, n)))[:, None]
 
     # ---- mirror (cu:646-656) ----

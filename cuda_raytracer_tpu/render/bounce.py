@@ -84,10 +84,18 @@ def make_stage_fns(cfg: RenderConfig):
         return light + jnp.where((ok & passes)[:, None], li_imp, 0.0)
 
     def scatter(scene, hit, importance, key):
-        u = draw_u2(jax.random.fold_in(key, 17), hit.t.shape[0]) \
-            if cfg.rng_granule > 1 else None
+        u = w = None
+        if cfg.rng_granule > 1:
+            u = draw_u2(jax.random.fold_in(key, 17), hit.t.shape[0])
+            if cfg.rng_fold_dirs and cfg.hemisphere_sampling == "uniform":
+                # antithetic fold (see S.scatter w_shared): one uniform
+                # SPHERE direction per granule; each lane folds it into
+                # its own hemisphere, so a packet emits at most two
+                # (antipodal) directions even across curved geometry
+                u, w = None, S._spherical_sample(u)
         return S.scatter(scene, hit, importance, key,
-                         cfg.origin_eps, cfg.hemisphere_sampling, u=u)
+                         cfg.origin_eps, cfg.hemisphere_sampling,
+                         u=u, w_shared=w)
 
     return {
         "trace": trace,

@@ -55,11 +55,12 @@ def test_tiles32s_packets_are_single_sample_tiles():
         assert len(tx) == 1 and len(ty) == 1
 
 
-def _render(order, granule, spp=8, seed=0):
+def _render(order, granule, spp=8, seed=0, fold=True):
     cfg = RenderConfig(
         width=64, height=40, samples_per_frame=spp, total_samples=spp,
         max_depth=2, nee_schedule=((1, 1.0), (1, 1.0)),
         sample_order=order, rng_granule=granule, seed=seed,
+        rng_fold_dirs=fold,
         traversal="xla", fuse_frame="no",
     )
     r = WavefrontRenderer(cfg)
@@ -83,11 +84,55 @@ def test_rng_granule_unbiased():
     ind, sh = [], []
     for s in range(4):
         ind.append(_render("tiles32s", 1, spp=8, seed=s))
-        sh.append(_render("tiles32s", 128, spp=8, seed=s))
+        sh.append(_render("tiles32s", 128, spp=8, seed=s, fold=False))
     a = np.mean(ind, axis=0)
     b = np.mean(sh, axis=0)
     assert abs(a.mean() - b.mean()) < 0.02
     assert np.mean(np.abs(a - b)) < 0.25
+
+
+def test_rng_fold_dirs_unbiased():
+    """The antithetic-fold mode (one shared sphere direction per
+    granule, folded per lane) must converge to the same image as
+    independent per-ray draws."""
+    ind, fo = [], []
+    for s in range(4):
+        ind.append(_render("tiles32s", 1, spp=8, seed=s))
+        fo.append(_render("tiles32s", 128, spp=8, seed=s, fold=True))
+    a = np.mean(ind, axis=0)
+    b = np.mean(fo, axis=0)
+    assert abs(a.mean() - b.mean()) < 0.02
+    assert np.mean(np.abs(a - b)) < 0.25
+
+
+def test_folded_direction_distribution():
+    """d = sign(dot(w, n)) * w with w uniform on the sphere must be
+    uniform on the hemisphere around each lane's n: cos = dot(d, n)
+    is then Uniform[0, 1] (E=1/2, E[cos^2]=1/3), for every normal."""
+    import jax
+
+    k = jax.random.PRNGKey(3)
+    m = 200_000
+    u = jax.random.uniform(k, (m, 2), dtype=jnp.float32)
+    from cuda_raytracer_tpu.ops.shade import _spherical_sample
+
+    w = _spherical_sample(u)
+    n = np.asarray(
+        _spherical_sample(
+            jax.random.uniform(jax.random.PRNGKey(4), (m, 2),
+                               dtype=jnp.float32)
+        )
+    )
+    d = np.asarray(w) * np.where(
+        (np.asarray(w) * n).sum(-1) >= 0, 1.0, -1.0
+    )[:, None]
+    cos = (d * n).sum(-1)
+    assert cos.min() >= 0
+    assert abs(cos.mean() - 0.5) < 0.005
+    assert abs((cos ** 2).mean() - 1.0 / 3.0) < 0.005
+    # and the azimuthal part stays uniform: mean direction ~ n/2
+    resid = d - cos[:, None] * n
+    assert np.abs(resid.mean(axis=0)).max() < 0.01
 
 
 def test_rng_granule_per_pixel_variance_shrinks():

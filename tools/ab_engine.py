@@ -39,6 +39,28 @@ VARIANTS = {
     # shared draws at granule 1024 but DFS also on RR depths
     "shareddfs": {"sample_order": "tiles32s", "rng_granule": 1024,
                   "traversal_secondary": "dfs", "traversal_rr": "dfs"},
+    # bench.py r3e defaults, for A/B against the variants below
+    "r3e": {"sample_order": "tiles32s", "rng_granule": 1024,
+            "traversal_secondary": "dfs", "traversal_rr": "pallas"},
+    # r3e without the antithetic direction fold (shared local-frame
+    # uniforms only — isolates the fold's packet-coherence win)
+    "r3e_nofold": {"sample_order": "tiles32s", "rng_granule": 1024,
+                   "traversal_secondary": "dfs", "traversal_rr": "pallas",
+                   "rng_fold_dirs": False},
+    # granule sweep: more draws per packet (finer stratification,
+    # less coherence) at the same tiles32s layout
+    "r3e_g512": {"sample_order": "tiles32s", "rng_granule": 512,
+                 "traversal_secondary": "dfs", "traversal_rr": "pallas"},
+    "r3e_g2048": {"sample_order": "tiles32s", "rng_granule": 2048,
+                  "traversal_secondary": "dfs", "traversal_rr": "pallas"},
+    # secondary packet-size sweep under shared-u (C<=granule keeps
+    # one draw per packet)
+    "r3e_c512": {"sample_order": "tiles32s", "rng_granule": 1024,
+                 "traversal_secondary": "dfs", "traversal_rr": "pallas",
+                 "packet_size_secondary": 512},
+    "r3e_c2048": {"sample_order": "tiles32s", "rng_granule": 1024,
+                  "traversal_secondary": "dfs", "traversal_rr": "pallas",
+                  "packet_size_secondary": 2048},
 }
 
 

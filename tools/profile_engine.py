@@ -56,7 +56,7 @@ def main():
         return float(jnp.sum(x))
 
     import numpy as np
-    final = jnp.zeros((cfg.height * cfg.width, 3), jnp.float32)
+    final = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     for rep in range(args.reps):
         key = jax.random.PRNGKey(100 + rep)
         t0 = time.perf_counter()
