@@ -40,8 +40,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output PNG path (main.cpp -w headless)")
     p.add_argument("--size", default="512x512",
                    help="WxH image size (cudaRenderer.h IMAGE_SIZE)")
-    p.add_argument("--spp-per-pass", type=int, default=2,
-                   help="samples traced per accumulation pass")
+    p.add_argument("--preset", default="reference",
+                   choices=["reference", "fast"],
+                   help="'reference' = reference-faithful defaults "
+                        "(raster order, per-ray RNG, no RR, one "
+                        "backend); 'fast' = the benchmarked TPU "
+                        "operating point (config.fast_preset_kwargs: "
+                        "tiles32s shared-u sampling, RR@2, hybrid "
+                        "backends, seeded bounds) — ~8x faster on TPU")
+    p.add_argument("--spp-per-pass", type=int, default=None,
+                   help="samples traced per accumulation pass "
+                        "(default: 2, or the preset's choice)")
     p.add_argument("--tree-width", type=int, default=4, choices=[2, 4, 8, 16])
     p.add_argument("--camera-mode", default="collada",
                    choices=["collada", "canonical", "cutracer"])
@@ -62,7 +71,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     width, height = (int(x) for x in args.size.lower().split("x"))
 
-    from ..config import RenderConfig
+    from ..config import RenderConfig, fast_preset_kwargs
     from ..render.engine import WavefrontRenderer
     from ..utils.image import save_png
 
@@ -70,10 +79,9 @@ def main(argv=None) -> int:
         (args.light_samples, 1.0 / args.light_samples)
         for _ in range(args.max_depth)
     )
-    cfg = RenderConfig(
+    kw = dict(
         width=width,
         height=height,
-        samples_per_frame=min(args.spp_per_pass, args.spp),
         total_samples=args.spp,
         max_depth=args.max_depth,
         nee_schedule=schedule,
@@ -81,8 +89,37 @@ def main(argv=None) -> int:
         hemisphere_sampling=args.hemisphere,
         reference_compat=args.reference_compat,
         seed=args.seed,
+        samples_per_frame=min(2, args.spp),
     )
-    r = WavefrontRenderer(cfg, camera_mode=args.camera_mode)
+    if args.preset == "fast":
+        fast = fast_preset_kwargs(width, height, args.spp)
+        if args.tree_width != 4:
+            fast.pop("tree_width")  # explicit flag wins
+        kw.update(fast)
+    if args.spp_per_pass is not None:
+        kw["samples_per_frame"] = min(args.spp_per_pass, args.spp)
+    cfg = RenderConfig(**kw)
+
+    if args.chips > 1:
+        # shard frames over the first N chips (parallel/shard.py);
+        # falls back loudly rather than silently rendering single-chip
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.chips:
+            raise SystemExit(
+                f"--chips {args.chips}: only {len(devs)} device(s) "
+                f"visible; run under a multi-chip runtime or drop the "
+                f"flag"
+            )
+        from ..parallel.shard import ShardedRenderer
+
+        mesh = Mesh(np.asarray(devs[:args.chips]), ("rays",))
+        r = ShardedRenderer(cfg, mesh, camera_mode=args.camera_mode)
+    else:
+        r = WavefrontRenderer(cfg, camera_mode=args.camera_mode)
     t0 = time.perf_counter()
     r.load_scene(args.scene)
     t_load = time.perf_counter() - t0

@@ -36,19 +36,20 @@ C = 1024
 
 
 def _partition_kernel(
-    payload_hbm,  # [8, N] ANY — input payload, swept by DMA
-    out_ref,  # [8, N] ANY — live lanes packed to the prefix
+    payload_hbm,  # [R, N] ANY — input payload, swept by DMA
+    out_ref,  # [R, N] ANY — live lanes packed to the prefix
     nlive_ref,  # [1, 1] SMEM i32
-    ebuf,  # [2][8, C] VMEM double buffer
-    tail,  # [8, 2C]
-    fbuf,  # [8, C]
+    ebuf,  # [2][R, C] VMEM double buffer
+    tail,  # [R, 2C]
+    fbuf,  # [R, C]
     esem,
     fsem,
     *,
     nblocks: int,
+    rows: int = ROWS,
 ):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-    rowid = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
 
     def start(i, slot):
         pltpu.make_async_copy(
@@ -130,7 +131,7 @@ def _partition_kernel(
             ).wait()
 
         dead = jnp.where(
-            jnp.broadcast_to(rowid == 7, (ROWS, C)), -1.0, 0.0
+            jnp.broadcast_to(rowid == 7, (rows, C)), -1.0, 0.0
         )
         fbuf[...] = jnp.where(lane < tcnt, tail[:, 0:C], dead)
         pltpu.make_async_copy(
@@ -150,17 +151,20 @@ def _partition_kernel(
 
 
 def compact_live_payload(payload: jnp.ndarray):
-    """Stable-compact live lanes (row 7 >= 0) of a wavefront payload
-    [8, N] to the prefix.  Returns (packed [8, N], n_live [] i32).
-    Lanes past n_live in the last written chunk are marked dead; lanes
-    beyond that chunk are unwritten garbage — consumers must bound
-    their sweeps by n_live (wavefront2 does, via seg_count)."""
+    """Stable-compact live lanes (row 7 >= 0) of a payload [R, N] to
+    the prefix (R = 8 for the wavefront queue payload; any row count
+    with liveness in row 7 works — render/bounce.py's whole-depth
+    compaction uses R = 16 full-state payloads).  Returns
+    (packed [R, N], n_live [] i32).  Lanes past n_live in the last
+    written chunk are marked dead; lanes beyond that chunk are
+    unwritten garbage — consumers must bound their sweeps by n_live
+    (wavefront2 does, via seg_count)."""
     R, N = payload.shape
-    assert R == ROWS and N % C == 0, (R, N)
+    assert R >= 8 and N % C == 0, (R, N)
     nblocks = N // C
     out, nlive = pl.pallas_call(
         lambda p, o, nl, eb, tl, fb, es, fs: _partition_kernel(
-            p, o, nl, eb, tl, fb, es, fs, nblocks=nblocks
+            p, o, nl, eb, tl, fb, es, fs, nblocks=nblocks, rows=R
         ),
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
@@ -169,13 +173,13 @@ def compact_live_payload(payload: jnp.ndarray):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((ROWS, N), jnp.float32),
+            jax.ShapeDtypeStruct((R, N), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, C), jnp.float32),
-            pltpu.VMEM((ROWS, 2 * C), jnp.float32),
-            pltpu.VMEM((ROWS, C), jnp.float32),
+            pltpu.VMEM((2, R, C), jnp.float32),
+            pltpu.VMEM((R, 2 * C), jnp.float32),
+            pltpu.VMEM((R, C), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],

@@ -104,6 +104,20 @@ def _pix_from_slot(pix, width, height, pix_order):
     return pix_order[pix]
 
 
+def tiles8_rank(width: int, height: int):
+    """Numpy pixel-id -> slot-rank table for sample_order='tiles8'
+    (inverse of _pix_from_slot's tile arithmetic; shared by the
+    engine's and the sharded renderer's film reconstruction)."""
+    import numpy as _np
+
+    t = 8
+    py, px = _np.meshgrid(_np.arange(height), _np.arange(width),
+                          indexing="ij")
+    rank = ((py // t) * (width // t) * t * t
+            + (px // t) * t * t + (py % t) * t + (px % t))
+    return rank.reshape(-1)
+
+
 def tiles32s_rank(width: int, height: int):
     """Numpy pixel-id -> slot-rank table for sample_order='tiles32s'
     (the forward map of _pix_from_slot's inverse; used by the engine's

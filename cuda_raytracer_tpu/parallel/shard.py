@@ -41,17 +41,32 @@ def make_render_mesh(devices=None, axis: str = "rays") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _order_arrays(cfg: RenderConfig):
+    """(pix_order, inv_order, sample_major) for cfg.sample_order —
+    the same swizzle the single-chip engine uses (render/engine.py
+    setup), so per-chip frames honor the configured sample order."""
+    if cfg.sample_order == "tiles8":
+        rank = S.tiles8_rank(cfg.width, cfg.height)
+        return "tiles8", jnp.asarray(rank, jnp.int32), False
+    if cfg.sample_order == "tiles32s":
+        rank = S.tiles32s_rank(cfg.width, cfg.height)
+        return "tiles32s", jnp.asarray(rank, jnp.int32), True
+    return None, None, False
+
+
 def _render_chunk(scene: FlatScene, cfg: RenderConfig, cam_arrays, key,
                   hfov_t, vfov_t, spp: int):
     """Trace spp samples/pixel of the full image; returns [H, W, 3].
     The schedule is the shared bounce loop (render/bounce.py)."""
     pos, c2w = cam_arrays
+    pix_order, inv_order, sample_major = _order_arrays(cfg)
     o, d = S.generate_camera_rays(
         jax.random.fold_in(key, 0), cfg.width, cfg.height, spp,
-        pos, c2w, hfov_t, vfov_t,
+        pos, c2w, hfov_t, vfov_t, pix_order=pix_order,
     )
     light, _ = run_bounce_loop(make_stage_fns(cfg), cfg, scene, o, d, key)
-    return F.reconstruct(light, cfg.width, cfg.height, spp)
+    return F.reconstruct(light, cfg.width, cfg.height, spp,
+                         inv_order=inv_order, sample_major=sample_major)
 
 
 def render_frame_sharded(
@@ -145,15 +160,104 @@ def _tile_rays(key, width, full_height, rows, tile_idx, spp, pos, c2w,
 
 
 class ShardedRenderer:
-    """Convenience wrapper: replicate a scene over a mesh and render
-    sharded frames."""
+    """Engine-parity multi-chip renderer (VERDICT r3 task 7).
 
-    def __init__(self, cfg: RenderConfig, mesh: Optional[Mesh] = None):
-        self.cfg = cfg
+    Same public surface and semantics as render.engine.WavefrontRenderer
+    — load_scene / load_static_scene / set_viewpoint (reset-on-move) /
+    render / render_to / get_image (median filter below
+    post_process_threshold) / save_checkpoint / load_checkpoint — with
+    every frame sharded over the mesh per cfg.shard_mode.  Scene and
+    camera handling is delegated to an embedded WavefrontRenderer so
+    the two paths cannot drift; only the per-frame dispatch differs
+    (render_frame_sharded under shard_map vs the engine's per-depth
+    executables).  RNG seeding matches the engine's convention
+    (fold_in(PRNGKey(cfg.seed), frame_index)); per-chip streams are
+    fold_in(frame_key, chip) and proven disjoint in tests/test_shard.py.
+    """
+
+    def __init__(self, cfg: RenderConfig, mesh: Optional[Mesh] = None,
+                 camera_mode: str = "collada"):
+        from ..render.engine import WavefrontRenderer
+
+        self.cfg = self.config = cfg
         self.mesh = mesh or make_render_mesh()
-        self._jit = None
+        if cfg.shard_mode == "tiles" and cfg.sample_order:
+            import warnings
+
+            warnings.warn(
+                "shard_mode='tiles' renders each slab in raster order; "
+                f"sample_order='{cfg.sample_order}' is honored only in "
+                "samples mode (slab heights do not tile)",
+                stacklevel=2,
+            )
+        # scene/camera/accumulation state lives in an embedded engine
+        # (never setup() — only its loaders and camera math are used)
+        self._host = WavefrontRenderer(cfg, camera_mode=camera_mode)
+        self._frame_jit = None
+        self.frame_index = 0
+        self.stage_times = {}
+
+    # -- scene / camera (delegated) ------------------------------------
+    def load_scene(self, path: str) -> None:
+        self._host.load_scene(path)
+        self._frame_jit = None
+        self._reset_accumulation()
+
+    def load_static_scene(self, sscene, cam_info=None, cam_transform=None,
+                          cut_cam=None) -> None:
+        self._host.load_static_scene(sscene, cam_info, cam_transform,
+                                     cut_cam)
+        self._frame_jit = None
+        self._reset_accumulation()
+
+    def set_viewpoint(self, origin, look_at) -> None:
+        self._host.set_viewpoint(origin, look_at)
+        self._reset_accumulation()
+
+    @property
+    def scene(self):
+        return self._host.scene
+
+    @property
+    def camera(self):
+        return self._host.camera
+
+    @property
+    def static_scene(self):
+        return self._host.static_scene
+
+    def _reset_accumulation(self) -> None:
+        cfg = self.cfg
+        self._final_image = jnp.zeros((cfg.height, cfg.width, 3),
+                                      jnp.float32)
+        self._post_image = None
+        self.image_samples = 0
+
+    # -- compile ---------------------------------------------------------
+    def setup(self) -> None:
+        cfg = self.cfg
+        cam = self._host.camera
+        tan_h = math.tan(math.radians(cam.hFov) / 2)
+        tan_v = math.tan(math.radians(cam.vFov) / 2)
+
+        def frame(scene, cam_arrays, key, final_img, n_prev,
+                  with_median):
+            img = render_frame_sharded(
+                self.mesh, scene, cfg, cam_arrays, key, tan_h, tan_v
+            )
+            final = F.accumulate(
+                final_img, img, n_prev.astype(jnp.float32),
+                jnp.float32(cfg.samples_per_frame),
+            )
+            post = (F.median_filter_3x3(final, cfg.reference_compat)
+                    if with_median else final)
+            return final, post
+
+        self._frame_jit = jax.jit(frame, static_argnums=(5,))
 
     def compile(self, scene: FlatScene, hfov: float, vfov: float):
+        """One-frame function (kept for the dryrun harness and older
+        callers; the accumulating path is render()/render_to())."""
         cfg = self.cfg
         tan_h = math.tan(math.radians(hfov) / 2)
         tan_v = math.tan(math.radians(vfov) / 2)
@@ -165,3 +269,74 @@ class ShardedRenderer:
 
         self._jit = jax.jit(frame)
         return self._jit
+
+    # -- per-frame render (engine.render parity) --------------------------
+    def render(self) -> None:
+        import time
+
+        if self._frame_jit is None:
+            self.setup()
+        cfg = self.cfg
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.seed), self.frame_index
+        )
+        with_median = (
+            self.image_samples < cfg.post_process_threshold
+        )
+        t0 = time.perf_counter()
+        final, post = self._frame_jit(
+            self._host.scene, self._host._camera_arrays(), key,
+            self._final_image, jnp.int32(self.image_samples),
+            with_median,
+        )
+        final.block_until_ready()
+        self.stage_times["frame"] = time.perf_counter() - t0
+        self._final_image = final
+        self._post_image = post
+        self.image_samples += cfg.samples_per_frame
+        self.frame_index += 1
+
+    def render_to(self, total_spp: Optional[int] = None):
+        target = total_spp or self.cfg.total_samples
+        while self.image_samples < target:
+            self.render()
+        return self.get_image()
+
+    def get_image(self) -> np.ndarray:
+        if self.image_samples < self.cfg.post_process_threshold and (
+            self._post_image is not None
+        ):
+            return np.asarray(self._post_image)
+        return np.asarray(self._final_image)
+
+    def get_raw_image(self) -> np.ndarray:
+        return np.asarray(self._final_image)
+
+    # -- checkpoint / resume (same format as the engine's) ----------------
+    def save_checkpoint(self, path: str) -> None:
+        np.savez(
+            path,
+            final_image=np.asarray(self._final_image),
+            image_samples=self.image_samples,
+            frame_index=self.frame_index,
+            seed=self.cfg.seed,
+            width=self.cfg.width,
+            height=self.cfg.height,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path)
+        if (int(data["width"]), int(data["height"])) != (
+            self.cfg.width, self.cfg.height
+        ):
+            raise ValueError("checkpoint resolution mismatch")
+        if int(data["seed"]) != self.cfg.seed:
+            raise ValueError("checkpoint RNG seed mismatch")
+        self._final_image = jnp.asarray(data["final_image"])
+        self.image_samples = int(data["image_samples"])
+        self.frame_index = int(data["frame_index"])
+        self._post_image = None
+
+    @property
+    def mrays_per_frame(self) -> float:
+        return self._host.mrays_per_frame

@@ -25,7 +25,7 @@ from ..ops.traverse import trace_closest
 
 
 def make_trace_fn(cfg: RenderConfig, secondary: bool = False,
-                  compact: bool = False):
+                  compact: bool = False, rr_dense: bool = False):
     """Traversal backend selected by cfg.traversal (or, for bounce and
     depth>0 shadow passes, cfg.traversal_secondary when set):
 
@@ -45,11 +45,14 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False,
     invocation — every 2nd call then failed with INVALID_ARGUMENT on
     the axon runtime.  Keep imports out of traced code.
     """
-    if compact:
+    if compact or rr_dense:
         # RR-thinned depths get their own backend choice: compacted
         # wavefront2 beats packet-DFS there even when shared-u
         # sampling has made the live lanes coherent (the partition
-        # packs them densely; tools/probe_shared_u2.py)
+        # packs them densely; tools/probe_shared_u2.py).  rr_dense is
+        # the whole-depth-compaction variant (cfg.compact_depths):
+        # the POPULATION arrives pre-compacted, so the wavefront runs
+        # plain (no internal partition) over the dense live prefix.
         kind = (cfg.traversal_rr or cfg.traversal_secondary
                 or cfg.traversal)
     elif secondary:
@@ -74,7 +77,8 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False,
         96 ms sweep buys nothing (measured losses on primary, on
         shadow-d0 — tools/probe_shadow0.py — and on shared-u
         secondary passes)."""
-        use = cfg.seed_k and scene.seed_rows is not None and not compact
+        use = (cfg.seed_k and scene.seed_rows is not None
+               and not compact and not rr_dense)
         if use and backend == "dfs" and not cfg.seed_primary:
             use = False
         if use and not secondary and not cfg.seed_primary:
@@ -119,8 +123,9 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False,
     elif kind == "pallas":
         # the partition sweep costs ~40 ns per live lane, so compaction
         # only pays on RR-thinned populations — the caller passes
-        # compact=True for depths past rr_start_depth
-        do_compact = compact and cfg.compact_secondary
+        # compact=True for depths past rr_start_depth.  rr_dense
+        # populations are pre-compacted, so no internal partition.
+        do_compact = compact and cfg.compact_secondary and not rr_dense
 
         def trace_wf2(scene, o, d, valid, t_limit=None):
             # reference-compat shadow semantics need hits beyond maxT,

@@ -37,7 +37,12 @@ import jax.numpy as jnp
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..ops import filters as F
 from ..ops import shade as S
-from .bounce import make_stage_fns, run_bounce_loop
+from .bounce import (
+    make_stage_fns,
+    pack_state,
+    run_bounce_loop,
+    run_depth_compacted,
+)
 from ..scene import static_scene as st
 from ..scene.camera import Camera, CutracerCamera
 from ..scene.collada import load_scene_info
@@ -136,14 +141,10 @@ class WavefrontRenderer:
         cfg = self.config
         if cfg.sample_order == "tiles8":
             # tile-major sample order: slot p covers pixel pix_order[p]
-            t = 8
-            py, px = np.meshgrid(np.arange(cfg.height), np.arange(cfg.width),
-                                 indexing="ij")
-            rank = ((py // t) * (cfg.width // t) * t * t
-                    + (px // t) * t * t + (py % t) * t + (px % t))
-            rank = rank.reshape(-1)
             self._pix_order = "tiles8"  # raygen uses tile arithmetic
-            self._inv_order = jnp.asarray(rank, jnp.int32)
+            self._inv_order = jnp.asarray(
+                S.tiles8_rank(cfg.width, cfg.height), jnp.int32
+            )
         elif cfg.sample_order == "tiles32s":
             # sample-major 32x32 tiles (see ops/shade.tiles32s_rank);
             # slot j covers sample j // (W*H) of the pixel at tile
@@ -233,29 +234,108 @@ class WavefrontRenderer:
             self._depth_jits = depth_jits
             self._film_jit = film_jit
 
+            # whole-depth compaction (cfg.compact_depths): depths past
+            # rr_start_depth run over the compacted live prefix at a
+            # host-bucketed static capacity — see render/bounce.py.
+            rr = cfg.rr_start_depth
+            compacting = (
+                cfg.compact_depths and rr and rr < cfg.max_depth
+            )
+            if compacting:
+                from ..ops.pallas.partition import compact_live_payload
+
+                def pack_partition(carry):
+                    o, d, valid, importance, light, ce, dropped = carry
+                    ids = jnp.arange(o.shape[0], dtype=jnp.int32)
+                    payload = pack_state(o, d, valid, importance, ce,
+                                          ids)
+                    packed, n_live = compact_live_payload(payload)
+                    return packed, n_live, light, dropped
+
+                self._pack_partition_jit = jax.jit(pack_partition)
+                self._partition_jit = jax.jit(compact_live_payload)
+                self._compact_depth_jits = {}
+                #: sticky per-depth capacity buckets: grow when the
+                #: live count exceeds them, never shrink (so steady-
+                #: state accumulation reuses one executable per depth
+                #: instead of recompiling when liveness wobbles across
+                #: a bucket boundary); reset by load_static_scene.
+                self._depth_buckets = {}
+
+                def compact_depth_fn(depth, m):
+                    key_ = (depth, m)
+                    fn = self._compact_depth_jits.get(key_)
+                    if fn is None:
+                        fn = jax.jit(functools.partial(
+                            run_depth_compacted, stages, cfg,
+                            depth=depth, m=m,
+                        ))
+                        self._compact_depth_jits[key_] = fn
+                    return fn
+
+                def bucket(depth, nl, ncur):
+                    g = max(1024, -(-ncur // 8 // 1024) * 1024)
+                    m = min(ncur, max(-(-nl // g) * g, 1024))
+                    prev = self._depth_buckets.get(depth)
+                    if prev is not None and m <= prev <= ncur:
+                        m = prev
+                    self._depth_buckets[depth] = m
+                    return m
+
             def run(scene, cam_arrays, key, final_img, image_samples):
                 import os as _os
 
                 time_depths = _os.environ.get("CRT_TIME_DEPTHS")
-                carry = raygen_jit(cam_arrays, key)
-                if time_depths:  # diagnostics: sync per depth
-                    jax.block_until_ready(carry)
-                for i, dj in enumerate(depth_jits):
-                    t0 = time.perf_counter() if time_depths else 0.0
-                    carry = dj(scene, carry, key)
+
+                def lap(name, t0, *sync):
                     if time_depths:
-                        jax.block_until_ready(carry)
-                        self.stage_times[f"depth{i}"] = (
-                            time.perf_counter() - t0
+                        jax.block_until_ready(sync)
+                        now = time.perf_counter()
+                        self.stage_times[name] = now - t0
+                        return now
+                    return 0.0
+
+                carry = raygen_jit(cam_arrays, key)
+                if time_depths:
+                    jax.block_until_ready(carry)
+                n_full_depths = rr if compacting else cfg.max_depth
+                for i in range(n_full_depths):
+                    t0 = time.perf_counter() if time_depths else 0.0
+                    carry = depth_jits[i](scene, carry, key)
+                    lap(f"depth{i}", t0, carry)
+                if compacting:
+                    t0 = time.perf_counter() if time_depths else 0.0
+                    packed, n_live, light, dropped = (
+                        self._pack_partition_jit(carry)
+                    )
+                    nl = int(n_live)
+                    t0 = lap("partition", t0, packed)
+                    for depth in range(rr, cfg.max_depth):
+                        if nl == 0:
+                            break
+                        m = bucket(depth, nl, packed.shape[1])
+                        fn = compact_depth_fn(depth, m)
+                        packed_m, light, dr = fn(
+                            scene, packed, n_live, light, key
                         )
+                        dropped = dropped + dr
+                        t0 = lap(f"depth{depth}", t0, light)
+                        if depth + 1 < cfg.max_depth:
+                            packed, n_live = self._partition_jit(
+                                packed_m
+                            )
+                            nl = int(n_live)
+                            t0 = lap(f"partition{depth}", t0, packed)
+                else:
+                    light, dropped = carry[4], carry[6]
                 with_median = (
                     int(image_samples) < cfg.post_process_threshold
                 )
                 final, post = film_jit(
-                    carry[4], final_img, jnp.int32(image_samples),
+                    light, final_img, jnp.int32(image_samples),
                     with_median,
                 )
-                return final, post, carry[6]
+                return final, post, dropped
 
             self._render_jit = run
         else:

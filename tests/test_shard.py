@@ -124,6 +124,85 @@ def test_chip_rng_streams_disjoint(setup):
     assert max(means) < 3 * min(means) + 1e-3
 
 
+def test_sharded_renderer_accumulates(mesh, setup, tmp_path):
+    """The productized ShardedRenderer (VERDICT r3 task 7): engine-
+    parity accumulate / reset-on-move / checkpoint loop, both modes."""
+    from cuda_raytracer_tpu.models.cornell import cornell_box_scene
+    from cuda_raytracer_tpu.parallel.shard import ShardedRenderer
+
+    for mode in ("samples", "tiles"):
+        cfg = RenderConfig(
+            width=32, height=16, samples_per_frame=NDEV,
+            total_samples=2 * NDEV, max_depth=2,
+            nee_schedule=((1, 1.0), (1, 1.0)), shard_mode=mode,
+        )
+        sr = ShardedRenderer(cfg, mesh, camera_mode="canonical")
+        sr.load_static_scene(cornell_box_scene(with_spheres=True))
+        sr.set_viewpoint([0.0, 0.75, 2.5], [0.0, 0.75, 0.0])
+        sr.render()
+        assert sr.image_samples == NDEV
+        first = sr.get_raw_image().copy()
+        ckpt = str(tmp_path / f"ck_{mode}.npz")
+        sr.save_checkpoint(ckpt)
+        sr.render()
+        assert sr.image_samples == 2 * NDEV
+        second = sr.get_raw_image().copy()
+        assert not np.array_equal(first, second)  # new samples folded in
+        img = sr.get_image()
+        assert img.shape == (16, 32, 3) and np.isfinite(img).all()
+
+        # resume from the checkpoint reproduces frame 2 exactly (same
+        # frame_index -> same RNG stream)
+        sr2 = ShardedRenderer(cfg, mesh, camera_mode="canonical")
+        sr2.load_static_scene(cornell_box_scene(with_spheres=True))
+        sr2.set_viewpoint([0.0, 0.75, 2.5], [0.0, 0.75, 0.0])
+        sr2.load_checkpoint(ckpt)
+        np.testing.assert_array_equal(sr2.get_raw_image(), first)
+        sr2.render()
+        np.testing.assert_array_equal(sr2.get_raw_image(), second)
+
+        # reset-on-move clears accumulation
+        sr.set_viewpoint([0.0, 0.8, 2.4], [0.0, 0.7, 0.0])
+        assert sr.image_samples == 0
+
+
+def test_sharded_renderer_honors_sample_order(mesh):
+    """samples mode reproduces the engine's tiles32s swizzle: the
+    sharded frame must equal the per-chip-average of chunks rendered
+    with the same order (the raygen/reconstruct pair must invert)."""
+    from cuda_raytracer_tpu.models.cornell import cornell_box_scene
+    from cuda_raytracer_tpu.parallel import shard
+    from cuda_raytracer_tpu.render.flatscene import flatten_scene
+
+    cfg = RenderConfig(
+        width=32, height=16, samples_per_frame=NDEV, max_depth=2,
+        nee_schedule=((1, 1.0), (1, 1.0)), sample_order="tiles32s",
+        rng_granule=128,
+    )
+    scene, _ = flatten_scene(cornell_box_scene(with_spheres=True))
+    cam = (
+        jnp.asarray([0.0, 0.75, 2.5], jnp.float32),
+        jnp.eye(3, dtype=jnp.float32),
+    )
+    tan_h = math.tan(math.radians(50.0) / 2)
+    tan_v = math.tan(math.radians(35.0) / 2)
+    key = jax.random.PRNGKey(13)
+    sharded = shard.render_frame_sharded(
+        mesh, scene, cfg, cam, key, tan_h, tan_v
+    )
+    chunks = [
+        shard._render_chunk(
+            scene, cfg, cam, jax.random.fold_in(key, i), tan_h, tan_v, 1
+        )
+        for i in range(NDEV)
+    ]
+    expected = jnp.mean(jnp.stack(chunks), axis=0)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(expected), rtol=1e-5, atol=1e-6
+    )
+    assert np.isfinite(np.asarray(sharded)).all()
+
+
 def test_sharded_matches_engine_estimator(mesh, setup):
     """Sharded accumulation agrees with the single-chip engine within
     Monte Carlo noise (same physics, different RNG partition)."""
