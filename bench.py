@@ -31,8 +31,9 @@ WIDTH, HEIGHT, TOTAL_SPP = 800, 600, 64
 #: * 32 spp per pass — with 8x8-tile sample order every 1024-ray
 #:   traversal packet covers one image tile (shrinks the packet-DFS
 #:   union working set, tools/sim_spp.py) and 2 frames/64 spp halve the
-#:   per-dispatch overhead vs 4; 64 spp/frame would exceed the kernels'
-#:   exact-f32 ray-id range (2^24) at 800x600.
+#:   per-dispatch overhead vs 4.  (The old 2^24 exact-f32 ray-id
+#:   ceiling is gone — ids ride as biased int32 bit patterns — so
+#:   spp=64/frame is legal; measure via BENCH_SPP=64.)
 #: * W=4 / max_leaf=32 — spp-32 hybrid sweep: 37.9 Mrays/s vs 37.0
 #:   (4/16), 36.7 (4/64), 34.7 (8/32), 30.6 (8/16).  The queue-based
 #:   secondary passes dominate the frame and their per-chunk cost
@@ -41,6 +42,10 @@ SPP_PER_PASS = int(os.environ.get("BENCH_SPP", "32"))
 TREE_W = int(os.environ.get("BENCH_TW", "4"))
 MAX_LEAF = int(os.environ.get("BENCH_ML", "32"))
 SEED_K = os.environ.get("BENCH_SEEDK")  # experiment override only
+#: whole-depth compaction at RR-thinned depths (render/bounce.py
+#: run_depth_compacted) — removes the full-size XLA shading sweeps at
+#: depths 2/3 (25%/11% live)
+COMPACT = os.environ.get("BENCH_COMPACT", "1") == "1"
 
 
 def main():
@@ -74,6 +79,7 @@ def main():
         traversal="dfs",
         traversal_secondary="dfs",
         traversal_rr="pallas",
+        compact_depths=COMPACT,
         **({"seed_k": int(SEED_K)} if SEED_K is not None else {}),
         **({"seed_primary": os.environ["BENCH_SEEDPRIM"] == "1"}
            if "BENCH_SEEDPRIM" in os.environ else {}),

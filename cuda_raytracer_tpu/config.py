@@ -40,7 +40,8 @@ class RenderConfig:
     queue_multiplier: int = 2
     #: traversal backend: "auto" = packet-DFS Pallas kernel on TPU, XLA
     #: scan elsewhere; "dfs" / "pallas" (wavefront2 segment kernels) /
-    #: "pallas1" (round-1 kernels; comparison benches) / "xla" force one.
+    #: "xla" force one.  (The round-1 "pallas1" kernels were retired in
+    #: round 4; their comparison numbers are frozen in BENCHNOTES.md.)
     traversal: str = "auto"
     #: sample order for camera rays: "raster" = pixel-major rows (the
     #: reference's (x*H+y)*spp+s layout), "tiles8" = 8x8-pixel tiles
@@ -199,8 +200,7 @@ class RenderConfig:
                 "hemisphere_sampling must be 'uniform' or 'cosine', got "
                 f"{self.hemisphere_sampling!r}"
             )
-        if self.traversal not in ("auto", "dfs", "pallas", "pallas1",
-                                  "xla"):
+        if self.traversal not in ("auto", "dfs", "pallas", "xla"):
             raise ValueError(f"unknown traversal {self.traversal!r}")
         if self.shard_mode not in ("samples", "tiles"):
             raise ValueError(f"unknown shard_mode {self.shard_mode!r}")
@@ -228,14 +228,12 @@ class RenderConfig:
                 "sample_order='tiles32s' (pixel-major orders would "
                 "share draws between a pixel's own samples)"
             )
-        if self.traversal_rr not in (
-            "", "auto", "dfs", "pallas", "pallas1", "xla"
-        ):
+        if self.traversal_rr not in ("", "auto", "dfs", "pallas", "xla"):
             raise ValueError(f"unknown traversal_rr {self.traversal_rr!r}")
         if self.fuse_frame not in ("auto", "yes", "no"):
             raise ValueError(f"unknown fuse_frame {self.fuse_frame!r}")
         if self.traversal_secondary not in (
-            "", "auto", "dfs", "pallas", "pallas1", "xla"
+            "", "auto", "dfs", "pallas", "xla"
         ):
             raise ValueError(
                 f"unknown traversal_secondary {self.traversal_secondary!r}"

@@ -33,7 +33,6 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False,
       passes; the default on TPU)
     * ``pallas``  — fused segment-major Pallas kernels (wavefront2;
       coherence-insensitive — wins on incoherent secondary passes)
-    * ``pallas1`` — the round-1 kernels (kept for comparison benches)
     * ``xla``     — pure-XLA scan traversal
     * ``auto``    — dfs on TPU, xla elsewhere
 
@@ -144,13 +143,6 @@ def make_trace_fn(cfg: RenderConfig, secondary: bool = False,
             )
 
         trace = trace_wf2
-
-    elif kind == "pallas1":
-        from ..ops.pallas.wavefront import trace_closest_wavefront as t1
-
-        def trace(scene, o, d, valid, t_limit=None):
-            tl = None if cfg.reference_compat else t_limit
-            return t1(scene, o, d, valid, tl, cfg.queue_multiplier)
 
     elif kind == "xla":
 

@@ -274,7 +274,12 @@ class WavefrontRenderer:
                     return fn
 
                 def bucket(depth, nl, ncur):
-                    g = max(1024, -(-ncur // 8 // 1024) * 1024)
+                    # grain = ncur/32: at 25% liveness a coarser grain
+                    # overshoots the live count by up to 50% and the
+                    # whole depth (traversal + shading) pays for the
+                    # slack — measured 978 ms at m=1.5x live vs the
+                    # ~3% ceiling this grain allows
+                    g = max(1024, -(-ncur // 32 // 1024) * 1024)
                     m = min(ncur, max(-(-nl // g) * g, 1024))
                     prev = self._depth_buckets.get(depth)
                     if prev is not None and m <= prev <= ncur:

@@ -450,8 +450,11 @@ def flatten_scene(
             [0.0],
         )
 
-    f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)  # noqa: E731
-    i32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)  # noqa: E731
+    # convert dtype in NUMPY, then device-put: jnp.asarray(x, dtype=..)
+    # on a f64 host array dispatches a convert_element_type program per
+    # table (~9 s of device round-trips at 80k prims)
+    f32 = lambda x: jnp.asarray(np.asarray(x, dtype=np.float32))  # noqa: E731
+    i32 = lambda x: jnp.asarray(np.asarray(x, dtype=np.int32))  # noqa: E731
 
     level_inner = tuple(
         int((flat.leaf_range[lv] == 0).sum()) for lv in flat.levels
@@ -520,102 +523,130 @@ def flatten_scene(
         node_meta = np.full((4,), -1, np.int32)
         prim_groups = np.zeros((1, 128), np.float32)
     else:
+        # Fully vectorized construction (round 4: the old per-node /
+        # per-8-prim-group Python loops dominated large-scene flatten —
+        # 12.3 s at 178k tris vs the reference's 0.48 s dragon build,
+        # reference_results/performance.txt:23).  Semantics are
+        # byte-identical to the loop form (checked against snapshots of
+        # the loop's tables on bunny/terrain at both tree widths).
+        ptype_o = ptype[order]
+        v0o, v1o, v2o = v0[order], v1[order], v2[order]
+
         if lr_all[0] > 0:
-            bfs_order = [0]
+            # degenerate single-leaf tree: one pseudo-node whose only
+            # slot is an always-hit box over the whole root leaf run
             is_root_leaf_dfs = True
+            bfs = np.zeros(1, np.int64)
         else:
             is_root_leaf_dfs = False
-            bfs_order = []
-            from collections import deque
-
-            dq = deque([0])
-            while dq:
-                nn = dq.popleft()
-                bfs_order.append(nn)
-                for wch in range(w):
-                    o_ = outl[nn, wch]
-                    if o_ >= 0 and lr_all[o_] == 0:
-                        dq.append(int(o_))
-        Nd = len(bfs_order)
-        new_id = {nn: i for i, nn in enumerate(bfs_order)}
+            # BFS over inner nodes, children in slot order: each level
+            # is the previous level's inner children flattened row-major
+            frontier = np.zeros(1, np.int64)
+            lvls = [frontier]
+            while True:
+                ch = outl[frontier].reshape(-1)
+                ch = ch[ch >= 0]
+                ch = ch[lr_all[ch] == 0].astype(np.int64)
+                if len(ch) == 0:
+                    break
+                lvls.append(ch)
+                frontier = ch
+            bfs = np.concatenate(lvls)
+        Nd = len(bfs)
 
         blk = np.zeros((Nd, 8, 128), np.float32)
         blk[:, :, 0:3] = 1e30  # dead slots: inverted boxes always miss
         blk[:, :, 3:6] = -1e30
         meta = np.zeros((Nd, 4), np.int64)
-        leaf_runs: List[Tuple[int, int, int]] = []  # (node, slot, prim info)
-        pg_rows: List[np.ndarray] = []
-        ptype_o = ptype[order]
-        v0o, v1o, v2o = v0[order], v1[order], v2[order]
 
-        def emit_leaf_child(prim_lo, prim_cnt):
-            """Append one leaf child's prims as 8-aligned groups; returns
-            (grp0, ngroups)."""
-            grp0 = len(pg_rows)
-            ids = np.arange(prim_lo, prim_lo + prim_cnt)
-            for gs in range(0, prim_cnt, 8):
-                rows = np.zeros((8, 16))
-                rows[:, 9] = -1.0  # pad prims: degenerate, never hit
-                sel = ids[gs : gs + 8]
-                k = len(sel)
-                rows[:k, 0:3] = v0o[sel]
-                rows[:k, 3:6] = v1o[sel]
-                rows[:k, 6:9] = v2o[sel]
-                rows[:k, 9] = ptype_o[sel]
-                rows[:k, 10] = sel
-                pg_rows.append(rows.reshape(128))
-            return grp0, (prim_cnt + 7) // 8
+        if is_root_leaf_dfs:
+            ln = np.zeros(1, np.int64)  # leaf child -> bfs node
+            pos_l = np.zeros(1, np.int64)  # leaf child -> slot position
+            leaf_lo = np.asarray([int(ls_all[0])], np.int64)
+            leaf_cnt = np.asarray([int(lr_all[0])], np.int64)
+            box_lmin = np.full((1, 3), -3e30)
+            box_lmax = np.full((1, 3), 3e30)
+            nl_per = np.ones(1, np.int64)
+        else:
+            outl_b = outl[bfs]  # [Nd, W]
+            validc = outl_b >= 0
+            ch_clip = np.clip(outl_b, 0, None)
+            leaf_mask = validc & (lr_all[ch_clip] > 0)
+            inner_mask = validc & ~leaf_mask
+            ni = inner_mask.sum(axis=1).astype(np.int64)
+            nl_per = leaf_mask.sum(axis=1).astype(np.int64)
+            cmin_b = flat.child_min[bfs]
+            cmax_b = flat.child_max[bfs]
 
-        for i, nn in enumerate(bfs_order):
-            if is_root_leaf_dfs:
-                inner_ch: List[int] = []
-                slots = [(((-3e30,) * 3, (3e30,) * 3),
-                          emit_leaf_child(int(ls_all[0]), int(lr_all[0])))]
-            else:
-                inner_ch = []
-                inner_boxes = []
-                leaf_slots = []
-                for wch in range(w):
-                    o_ = outl[nn, wch]
-                    if o_ < 0:
-                        continue
-                    box = (flat.child_min[nn, wch], flat.child_max[nn, wch])
-                    if lr_all[o_] == 0:
-                        inner_ch.append(int(o_))
-                        inner_boxes.append(box)
-                    else:
-                        leaf_slots.append(
-                            (box, emit_leaf_child(int(ls_all[o_]),
-                                                  int(lr_all[o_])))
-                        )
-                slots = [(b, None) for b in inner_boxes] + leaf_slots
-            leaf_grp0 = None
-            leaf_ngroups = 0
-            for k, entry in enumerate(slots):
-                box, leafinfo = entry
-                bmin, bmax = box
-                blk[i, k, 0:3] = bmin
-                blk[i, k, 3:6] = bmax
-                if leafinfo is not None:
-                    blk[i, k, 6] = leafinfo[0]  # grp0
-                    blk[i, k, 7] = leafinfo[1]  # ngroups
-                    if leaf_grp0 is None:
-                        leaf_grp0 = leafinfo[0]
-                    leaf_ngroups += leafinfo[1]
-            meta[i, 0] = new_id[inner_ch[0]] if inner_ch else 0
-            meta[i, 1] = len(inner_ch)
-            # all leaf children of a node emit consecutive 8-aligned
-            # group runs, so one (grp0, total groups) covers them as a
-            # single leaf job
-            meta[i, 2] = leaf_grp0 if leaf_grp0 is not None else 0
-            meta[i, 3] = leaf_ngroups
+            # slot positions: inner children first (slot order), then
+            # leaf children (slot order)
+            inn, inw = np.nonzero(inner_mask)  # row-major
+            pos_i = (np.cumsum(inner_mask, axis=1) - 1)[inn, inw]
+            blk[inn, pos_i, 0:3] = cmin_b[inn, inw]
+            blk[inn, pos_i, 3:6] = cmax_b[inn, inw]
+
+            ln, lw = np.nonzero(leaf_mask)  # row-major = emit order
+            pos_l = ni[ln] + (np.cumsum(leaf_mask, axis=1) - 1)[ln, lw]
+            lids = outl_b[ln, lw]
+            leaf_lo = ls_all[lids].astype(np.int64)
+            leaf_cnt = lr_all[lids].astype(np.int64)
+            box_lmin = cmin_b[ln, lw]
+            box_lmax = cmax_b[ln, lw]
+
+            # inner-child BFS ids are assigned in discovery order =
+            # (parent bfs rank, slot) — i.e. 1 + running inner count
+            first_inner = 1 + np.concatenate(
+                ([0], np.cumsum(ni)[:-1])
+            )
+            meta[:, 0] = np.where(ni > 0, first_inner, 0)
+            meta[:, 1] = ni
+
+        # 8-aligned prim groups per leaf child, in emit (row-major)
+        # order; pad prims get type -1 (degenerate, never hit)
+        ngr = (leaf_cnt + 7) // 8
+        G = int(ngr.sum())
+        gstart = np.concatenate(([0], np.cumsum(ngr)))[:-1]
+        if G:
+            grp_leaf = np.repeat(np.arange(len(ngr)), ngr)
+            base = leaf_lo[grp_leaf] + 8 * (
+                np.arange(G) - gstart[grp_leaf]
+            )
+            idx = base[:, None] + np.arange(8)
+            vmask = idx < (leaf_lo + leaf_cnt)[grp_leaf][:, None]
+            idx_c = np.where(vmask, idx, 0)
+            m3 = vmask[:, :, None]
+            pg = np.zeros((G, 8, 16), np.float32)
+            pg[:, :, 0:3] = np.where(m3, v0o[idx_c], 0.0)
+            pg[:, :, 3:6] = np.where(m3, v1o[idx_c], 0.0)
+            pg[:, :, 6:9] = np.where(m3, v2o[idx_c], 0.0)
+            pg[:, :, 9] = np.where(vmask, ptype_o[idx_c], -1.0)
+            pg[:, :, 10] = np.where(vmask, idx, 0.0)
+            pg_flat = pg.reshape(G, 128)
+        else:
+            pg_flat = np.zeros((1, 128), np.float32)
+        # guard rows: leaf DMAs fetch 4-row batches
+        prim_groups = np.concatenate(
+            [pg_flat, np.zeros((4, 128), np.float32)]
+        )
+
+        # leaf slots carry (grp0, ngroups); per-node leaf job =
+        # (first leaf child's grp0, total groups) — all leaf children
+        # of a node emit consecutive 8-aligned group runs
+        blk[ln, pos_l, 0:3] = box_lmin
+        blk[ln, pos_l, 3:6] = box_lmax
+        blk[ln, pos_l, 6] = gstart
+        blk[ln, pos_l, 7] = ngr
+        if len(ngr):
+            first_leaf = np.concatenate(([0], np.cumsum(nl_per)[:-1]))
+            meta[:, 2] = np.where(
+                nl_per > 0, gstart[np.minimum(first_leaf, len(ngr) - 1)], 0
+            )
+            meta[:, 3] = np.bincount(
+                ln, weights=ngr, minlength=Nd
+            ).astype(np.int64)
+
         node_dfs = blk.reshape(Nd * 8, 128)
         node_meta = meta.reshape(-1).astype(np.int32)
-        if not pg_rows:
-            pg_rows.append(np.zeros(128))
-        for _ in range(4):  # guard rows: leaf DMAs fetch 4-row batches
-            pg_rows.append(np.zeros(128))
-        prim_groups = np.stack(pg_rows).astype(np.float32)
 
     flat_bvh = FlatBVH(
         outlets=i32(flat.outlets),
@@ -641,13 +672,17 @@ def flatten_scene(
     # packed prim rows padded to 128 columns (Pallas lane-tile DMA
     # alignment) with max_leaf_size degenerate rows appended so the leaf
     # kernel's static-size [max_leaf, 128] DMA never overruns the table
-    prim_packed = np.zeros((P + max_leaf_size + 8, 128))
+    # f32 from the start: a (P, 128) f64 staging table is 0.5 GB at
+    # 500k prims and its post-hoc .astype copy dominated large-scene
+    # flatten (assignment from f64 downcasts element-wise — identical
+    # values)
+    prim_packed = np.zeros((P + max_leaf_size + 8, 128), np.float32)
     prim_packed[:P, 0:3] = v0[order]
     prim_packed[:P, 3:6] = v1[order]
     prim_packed[:P, 6:9] = v2[order]
     prim_packed[:P, 9] = ptype[order]
 
-    shade_packed = np.zeros((P, 32))
+    shade_packed = np.zeros((P, 32), np.float32)
     shade_packed[:, 0:3] = v0[order]
     shade_packed[:, 3:6] = v1[order]
     shade_packed[:, 6:9] = v2[order]

@@ -61,6 +61,22 @@ VARIANTS = {
     "r3e_c2048": {"sample_order": "tiles32s", "rng_granule": 1024,
                   "traversal_secondary": "dfs", "traversal_rr": "pallas",
                   "packet_size_secondary": 2048},
+    # round 4: whole-depth compaction at RR depths (r3e + compact)
+    "r4": {"sample_order": "tiles32s", "rng_granule": 1024,
+           "traversal_secondary": "dfs", "traversal_rr": "pallas",
+           "compact_depths": True},
+    # secondary packet-size re-sweep UNDER shared-u + fold + compaction
+    # (the r3 C-sweep predates all three — VERDICT r3 task 8)
+    "r4_c512": {"sample_order": "tiles32s", "rng_granule": 1024,
+                "traversal_secondary": "dfs", "traversal_rr": "pallas",
+                "compact_depths": True, "packet_size_secondary": 512},
+    "r4_c2048": {"sample_order": "tiles32s", "rng_granule": 1024,
+                 "traversal_secondary": "dfs", "traversal_rr": "pallas",
+                 "compact_depths": True, "packet_size_secondary": 2048},
+    # granule sweep under compaction
+    "r4_g512": {"sample_order": "tiles32s", "rng_granule": 512,
+                "traversal_secondary": "dfs", "traversal_rr": "pallas",
+                "compact_depths": True},
 }
 
 

@@ -19,8 +19,10 @@ def bench(fn, *args, reps=3):
     best = 1e9
     for r in range(reps):
         a0 = args[0]
-        # perturb so the runtime can't dedupe the dispatch
-        args2 = ((a0 + r + 1) % P,) + args[1:]
+        # perturb so the runtime can't dedupe the dispatch — and sync
+        # the perturbation BEFORE the timer, or its device execution
+        # lands inside the timed window (inflates the cheap cases)
+        args2 = (jax.block_until_ready((a0 + r + 1) % P),) + args[1:]
         t0 = time.perf_counter()
         out = fn(*args2, *())
         float(jnp.sum(out[::4096]))

@@ -3,6 +3,13 @@ programs: A/B the engine with the real shade_packed[prim] gather vs a
 stubbed constant-index gather (row 0).  The stub renders garbage — this
 is a timing probe only.
 
+Caveat (advisor r3): the stub's garbage normals/BSDFs change scatter
+directions, RR survival, and traversal coherence at later depths, so
+only the depth-0 (and shadow-pass) real-vs-stub deltas isolate the
+gather cost; depth>=1 deltas mix in distribution shift.  (clip(prim,
+-1, 0) also wrap-indexes row -1 into the LAST table row rather than
+masking — harmless for timing, wrong for values.)
+
 Usage: python tools/probe_shadecost.py [real|stub]
 """
 import os, sys, time

@@ -39,7 +39,6 @@ def main():
     ap.add_argument("--n", type=int, default=960 * 1024)
     ap.add_argument("--xla", action="store_true")
     ap.add_argument("--scatter", action="store_true")
-    ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--pallas2", action="store_true")
     args = ap.parse_args()
 
@@ -69,16 +68,6 @@ def main():
     o, d = o[:N], d[:N]
     valid = jnp.ones((N,), bool)
     print("rays:", N)
-
-    if args.pallas:
-        from cuda_raytracer_tpu.ops.pallas.wavefront import (
-            trace_closest_wavefront,
-        )
-
-        f = jax.jit(lambda s, o, d, v: trace_closest_wavefront(s, o, d, v))
-        dt, res = timed(f, scene, o, d, valid)
-        print(f"pallas trace: {dt*1e3:.2f} ms  -> {N/dt/1e6:.2f} Mrays/s, "
-              f"hits={int((res.prim >= 0).sum())}, dropped={int(res.dropped)}")
 
     if args.pallas2:
         from cuda_raytracer_tpu.ops.pallas.wavefront2 import (
