@@ -32,8 +32,10 @@ WIDTH, HEIGHT, TOTAL_SPP = 800, 600, 64
 #:   traversal packet covers one image tile (shrinks the packet-DFS
 #:   union working set, tools/sim_spp.py) and 2 frames/64 spp halve the
 #:   per-dispatch overhead vs 4.  (The old 2^24 exact-f32 ray-id
-#:   ceiling is gone — ids ride as biased int32 bit patterns — so
-#:   spp=64/frame is legal; measure via BENCH_SPP=64.)
+#:   ceiling is gone — ids ride as biased int32 bit patterns — but
+#:   BENCH_SPP=64 single-frame OOMs: 19.06G HBM needed vs 15.75G on
+#:   v5e, the 30.7M-lane state + queues don't fit.  32 spp/frame is
+#:   the memory-feasible operating point, not an id-range artifact.)
 #: * W=4 / max_leaf=32 — spp-32 hybrid sweep: 37.9 Mrays/s vs 37.0
 #:   (4/16), 36.7 (4/64), 34.7 (8/32), 30.6 (8/16).  The queue-based
 #:   secondary passes dominate the frame and their per-chunk cost
@@ -43,9 +45,11 @@ TREE_W = int(os.environ.get("BENCH_TW", "4"))
 MAX_LEAF = int(os.environ.get("BENCH_ML", "32"))
 SEED_K = os.environ.get("BENCH_SEEDK")  # experiment override only
 #: whole-depth compaction at RR-thinned depths (render/bounce.py
-#: run_depth_compacted) — removes the full-size XLA shading sweeps at
-#: depths 2/3 (25%/11% live)
-COMPACT = os.environ.get("BENCH_COMPACT", "1") == "1"
+#: run_depth_compacted) — measured a net LOSS at this operating point
+#: (BENCHNOTES r4: the dense path's internal traversal compaction
+#: already captures the win and the masked shading sweeps are
+#: bandwidth-cheap), so off by default; kept for A/B
+COMPACT = os.environ.get("BENCH_COMPACT", "0") == "1"
 
 
 def main():

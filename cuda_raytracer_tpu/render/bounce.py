@@ -323,6 +323,9 @@ def run_depth_compacted(J, cfg: RenderConfig, scene: FlatScene,
     path.  Returns (packed' [16, m], light', dropped)."""
     sl = packed[:, :m]
     o, d, alive, importance, ce, ids = unpack_state(sl, n_live)
+    # rr_dense = wavefront2 without its internal partition; measured a
+    # tie with the internally-partitioning variant on the compacted
+    # prefix (BENCHNOTES r4 wf2c row), so keep the simpler one
     tr = J["trace_rr_dense"]
     res = tr(scene, o, d, alive)
     dropped = res.dropped
