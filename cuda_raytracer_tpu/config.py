@@ -279,9 +279,17 @@ def fast_preset_kwargs(width: int, height: int, spp: int = 64) -> dict:
       with antithetic folding (coherent secondary packets),
     * Russian roulette from depth 2,
     * per-pass hybrid backends (packet-DFS coherent passes, compacted
-      wavefront2 on RR-thinned depths) + whole-depth compaction,
+      wavefront2 on RR-thinned depths),
     * the sweep-winning W=4 / max_leaf=32 tree and 32 spp per pass,
     * K=16 seeded conservative bounds on secondary passes.
+
+    Whole-depth compaction stays OFF: BENCHNOTES r4 measured it as a
+    net loss at this operating point (best compacted frame 3.21 s vs
+    2.57 s dense — wavefront2's internal compaction already bounds
+    every sweep by the live count).  bench.py builds its config FROM
+    these kwargs, and tests/test_bench_config.py asserts the two agree
+    field for field (VERDICT r4 weak 2: the r4 preset silently shipped
+    compact_depths=True, ~25%% below the advertised number).
 
     Falls back (with a warning) to raster order / per-ray RNG when the
     image width is not a multiple of 32 (tiles32s needs it).
@@ -293,7 +301,7 @@ def fast_preset_kwargs(width: int, height: int, spp: int = 64) -> dict:
         traversal="dfs",
         traversal_secondary="dfs",
         traversal_rr="pallas",
-        compact_depths=True,
+        compact_depths=False,
         seed_k=16,
         samples_per_frame=min(32, spp),
     )

@@ -64,6 +64,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...render.flatscene import FlatScene
+from ..intersect import packed_prim_test as _packed_test
 
 INF = jnp.float32(jnp.inf)
 #: finite "no t limit" sentinel for the payload (must not be inf)
@@ -614,68 +615,23 @@ def _pack_kernel(
                         @pl.when(jnp.sum(m.astype(jnp.int32)) > 0)
                         def _():
                             pb = pbuf.at[w]
-                            v0x, v0y, v0z = (pb[:, 0:1], pb[:, 1:2],
-                                             pb[:, 2:3])
-                            v1x, v1y, v1z = (pb[:, 3:4], pb[:, 4:5],
-                                             pb[:, 5:6])
-                            v2x, v2y, v2z = (pb[:, 6:7], pb[:, 7:8],
-                                             pb[:, 8:9])
-                            ptype = pb[:, 9:10]
-                            # triangle plane + half-plane tests
-                            # (intersectRayTriangle, cu:217-270)
-                            e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-                            e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
-                            nx = e1y * e2z - e1z * e2y
-                            ny = e1z * e2x - e1x * e2z
-                            nz = e1x * e2y - e1y * e2x
-                            denom = nx * d_x + ny * d_y + nz * d_z
-                            parallel = jnp.abs(denom) < 1e-6
-                            dplane = nx * v0x + ny * v0y + nz * v0z
-                            t_tri = (
-                                dplane - (nx * o_x + ny * o_y + nz * o_z)
-                            ) / jnp.where(parallel, 1.0, denom)
-                            px = o_x + t_tri * d_x
-                            py = o_y + t_tri * d_y
-                            pz = o_z + t_tri * d_z
-
-                            def edge_ok(ax, ay, az, bx, by, bz):
-                                ex, ey, ez = bx - ax, by - ay, bz - az
-                                wx, wy, wz = px - ax, py - ay, pz - az
-                                cx = ey * wz - ez * wy
-                                cy = ez * wx - ex * wz
-                                cz = ex * wy - ey * wx
-                                return nx * cx + ny * cy + nz * cz >= 0.0
-
-                            inside_tri = (
-                                edge_ok(v0x, v0y, v0z, v1x, v1y, v1z)
-                                & edge_ok(v1x, v1y, v1z, v2x, v2y, v2z)
-                                & edge_ok(v2x, v2y, v2z, v0x, v0y, v0z)
+                            # the shared precomputed-table test
+                            # (ops/intersect.packed_prim_test over
+                            # prim_packed cols 10:22) — identical op
+                            # order to the XLA oracle and packet-DFS
+                            # (VERDICT r4 task 1)
+                            okp, t_k = _packed_test(
+                                o_x, o_y, o_z, d_x, d_y, d_z,
+                                pb[:, 10:11], pb[:, 11:12],
+                                pb[:, 12:13], pb[:, 13:14],
+                                pb[:, 14:15], pb[:, 15:16],
+                                pb[:, 16:17], pb[:, 17:18],
+                                pb[:, 18:19], pb[:, 19:20],
+                                pb[:, 20:21], pb[:, 21:22],
+                                pb[:, 9:10],
                             )
-                            ok_tri = (
-                                (~parallel) & inside_tri & (t_tri >= 0.0)
-                            )
-                            # sphere (center v0, radius col 3)
-                            radius = v1x
-                            ocx, ocy, ocz = o_x - v0x, o_y - v0y, o_z - v0z
-                            a_q = d_x * d_x + d_y * d_y + d_z * d_z
-                            b_q = 2.0 * (
-                                ocx * d_x + ocy * d_y + ocz * d_z
-                            )
-                            c_q = (
-                                ocx * ocx + ocy * ocy + ocz * ocz
-                                - radius * radius
-                            )
-                            disc = b_q * b_q - 4.0 * a_q * c_q
-                            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                            ts1 = (-b_q - sq) / (2.0 * a_q)
-                            ts2 = (-b_q + sq) / (2.0 * a_q)
-                            t_sph = jnp.where(ts1 > 0, ts1, ts2)
-                            ok_sph = (disc >= 0) & (t_sph > 0)
-
-                            is_sph = ptype > 0.5
-                            t_k = jnp.where(is_sph, t_sph, t_tri)
                             okm = (
-                                ((is_sph & ok_sph) | ((~is_sph) & ok_tri))
+                                okp
                                 & (krow < clcnt[s * W + w])
                                 & m
                             )

@@ -37,6 +37,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..render.flatscene import FlatScene
+from .intersect import packed_prim_test
 
 
 class SeedHits(NamedTuple):
@@ -67,57 +68,17 @@ def seed_hits(scene: FlatScene, o, d, valid, k: int = 32) -> SeedHits:
     best_p = jnp.full(ox.shape, -1.0, jnp.float32)
     for i in range(k):  # static unroll: XLA fuses into one VPU sweep
         r = rows[i]
-        v0x, v0y, v0z = r[0], r[1], r[2]
-        v1x, v1y, v1z = r[3], r[4], r[5]
-        v2x, v2y, v2z = r[6], r[7], r[8]
-        is_sph = r[9] > 0.5
-        pid = r[10]
-        # triangle plane + half-plane tests (same op order as the pack
-        # kernel's leaf stage and intersectRayTriangle, cu:217-270)
-        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
-        nx = e1y * e2z - e1z * e2y
-        ny = e1z * e2x - e1x * e2z
-        nz = e1x * e2y - e1y * e2x
-        denom = nx * dx + ny * dy + nz * dz
-        parallel = jnp.abs(denom) < 1e-6
-        dplane = nx * v0x + ny * v0y + nz * v0z
-        t_tri = (dplane - (nx * ox + ny * oy + nz * oz)) / jnp.where(
-            parallel, 1.0, denom
+        pid = r[22]
+        # the shared precomputed-table test (same op order as every
+        # traversal backend's leaf stage; seed rows mirror prim_packed
+        # cols 0:22 — flatscene.flatten_scene)
+        ok, t_i = packed_prim_test(
+            ox, oy, oz, dx, dy, dz,
+            r[10], r[11], r[12], r[13],
+            r[14], r[15], r[16], r[17],
+            r[18], r[19], r[20], r[21],
+            r[9],
         )
-        px = ox + t_tri * dx
-        py = oy + t_tri * dy
-        pz = oz + t_tri * dz
-
-        def edge_ok(ax, ay, az, bx, by, bz):
-            ex, ey, ez = bx - ax, by - ay, bz - az
-            wx, wy, wz = px - ax, py - ay, pz - az
-            cx = ey * wz - ez * wy
-            cy = ez * wx - ex * wz
-            cz = ex * wy - ey * wx
-            return nx * cx + ny * cy + nz * cz >= 0.0
-
-        inside_tri = (
-            edge_ok(v0x, v0y, v0z, v1x, v1y, v1z)
-            & edge_ok(v1x, v1y, v1z, v2x, v2y, v2z)
-            & edge_ok(v2x, v2y, v2z, v0x, v0y, v0z)
-        )
-        ok_tri = (~parallel) & inside_tri & (t_tri >= 0.0)
-        # sphere (center v0, radius v1.x) — quadratic, near root first
-        radius = v1x
-        ocx, ocy, ocz = ox - v0x, oy - v0y, oz - v0z
-        a_q = dx * dx + dy * dy + dz * dz
-        b_q = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
-        c_q = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
-        disc = b_q * b_q - 4.0 * a_q * c_q
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        ts1 = (-b_q - sq) / (2.0 * a_q)
-        ts2 = (-b_q + sq) / (2.0 * a_q)
-        t_sph = jnp.where(ts1 > 0, ts1, ts2)
-        ok_sph = (disc >= 0) & (t_sph > 0)
-
-        t_i = jnp.where(is_sph, t_sph, t_tri)
-        ok = jnp.where(is_sph, ok_sph, ok_tri)
         better = ok & (t_i < best_t)
         best_p = jnp.where(better, pid, best_p)
         best_t = jnp.where(better, t_i, best_t)

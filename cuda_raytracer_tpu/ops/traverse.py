@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..render.flatscene import FlatScene
-from .intersect import intersect_bbox, intersect_prim
+from .intersect import intersect_bbox
 
 INF_F32 = jnp.float32(jnp.inf)
 
@@ -138,13 +138,11 @@ def trace_closest(
             )
             o_e = rrows[:, None, 0:3]
             d_e = rrows[:, None, 3:6]
-            from .intersect import intersect_sphere, intersect_triangle
+            from .intersect import intersect_rows
 
-            t_tri = intersect_triangle(
-                o_e, d_e, prows[..., 0:3], prows[..., 3:6], prows[..., 6:9]
-            )
-            t_sph = intersect_sphere(o_e, d_e, prows[..., 0:3], prows[..., 3])
-            t = jnp.where(prows[..., 9] < 0.5, t_tri, t_sph)  # [C, K]
+            # the shared precomputed-table test (packed_prim_test) —
+            # identical op order to the Pallas kernels' leaf stages
+            t = intersect_rows(o_e, d_e, prows)  # [C, K]
             t = jnp.where(pmask & c_valid[:, None] & (t >= 0), t, INF_F32)
             kmin = jnp.argmin(t, axis=1)  # first (lowest-pid) min
             tmin = jnp.take_along_axis(t, kmin[:, None], axis=1)[:, 0]
@@ -298,15 +296,14 @@ def trace_bruteforce(scene: FlatScene, o, d, valid, chunk: int = 512):
     P = scene.num_prims
     best_t = jnp.full((N,), INF_F32)
     best_prim = jnp.full((N,), -1, dtype=jnp.int32)
+    from .intersect import intersect_rows
+
     for s in range(0, P, chunk):
         e = min(s + chunk, P)
-        t = intersect_prim(
+        t = intersect_rows(
             o[:, None, :],
             d[:, None, :],
-            scene.prim_type[None, s:e],
-            scene.v0[None, s:e],
-            scene.v1[None, s:e],
-            scene.v2[None, s:e],
+            scene.prim_packed[None, s:e, :22],
         )  # [N, e-s]
         t = jnp.where((t >= 0) & valid[:, None], t, INF_F32)
         k = jnp.argmin(t, axis=1)

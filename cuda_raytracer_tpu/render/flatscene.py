@@ -105,9 +105,12 @@ class FlatBVH:
     #: boxes so the slab test always misses them.
     node_dfs: jnp.ndarray = None  # [8*Nd, 128] f32
     #: packet-DFS prim-group table: 8 prims per row, 16 f32 fields each
-    #: [v0.xyz v1.xyz v2.xyz type orig_id pad...], ordered by per-node
-    #: leaf run (all direct leaf-child prims of one node contiguous,
-    #: runs 8-aligned); orig_id maps to the BVH-sorted prim arrays
+    #: [g.xyz g.w T1.xyzw T2.xyzw type orig_id pad pad] — the same
+    #: precomputed intersection fields as prim_packed cols 10:22 (g =
+    #: plane normal|center, g.w = plane offset|radius, T1/T2 the
+    #: barycentric affine rows), ordered by per-node leaf run (all
+    #: direct leaf-child prims of one node contiguous, runs 8-aligned);
+    #: orig_id maps to the BVH-sorted prim arrays
     prim_groups: jnp.ndarray = None  # [G, 128] f32
     #: packet-DFS per-node scalars, flattened [Nd, 4] i32 -> [4*Nd]:
     #: [inner_base, inner_count, leaf_grp0, leaf_count]; lives in SMEM
@@ -150,10 +153,18 @@ class FlatScene:
     light_area: jnp.ndarray  # [L] f32
 
     #: packed per-primitive row for the traversal hot path: columns
-    #: [v0.xyz, v1.xyz, v2.xyz, type, 0...] (16 f32).  One wide-row
-    #: gather hits XLA's fast gather emitter; narrow per-field gathers
-    #: fused into loop fusions serialize on TPU.
-    prim_packed: jnp.ndarray  # [P, 16] f32
+    #: [v0.xyz, v1.xyz, v2.xyz, type, g.xyz, g.w, T1.xyzw, T2.xyzw]
+    #: (22 f32 used of 128).  Cols 10:22 are the PRECOMPUTED
+    #: intersection fields shared by every traversal backend
+    #: (ops/intersect.packed_prim_test): g = unnormalized plane normal
+    #: (triangle) / center (sphere), g.w = plane offset n.v0 / radius,
+    #: and T1/T2 the affine barycentric rows u = T1.(h,1), v = T2.(h,1)
+    #: — precomputed host-side in f64 so the per-leaf-visit cross
+    #: products of intersectRayTriangle (src/cudaRenderer.cu:217-270)
+    #: never run on-device (VERDICT r4 task 1).  One wide-row gather
+    #: hits XLA's fast gather emitter; narrow per-field gathers fused
+    #: into loop fusions serialize on TPU.
+    prim_packed: jnp.ndarray  # [P, 128] f32
     #: packed per-primitive SHADING row: [v0.xyz v1.xyz v2.xyz type
     #: n0.xyz n1.xyz n2.xyz bsdf pad...] (32 f32) — compute_hits does
     #: one wide-row gather instead of eight narrow ones (XLA TPU
@@ -174,15 +185,15 @@ class FlatScene:
     has_env: bool = struct.field(pytree_node=False)
 
     #: seed-prim rows for conservative t_ub seeding (ops/seeds.py): the
-    #: K largest-area primitives as [v0.xyz v1.xyz v2.xyz type id
-    #: pad...] (16 f32).  Any subset of the real scene yields a valid
+    #: K largest-area primitives as prim_packed cols 0:22 + orig id at
+    #: col 22 (24 f32).  Any subset of the real scene yields a valid
     #: upper bound on the closest hit, so a dense brute-force test
     #: against these rows bounds the wavefront traversal's search: only
     #: strictly-closer hits are logged (shrinking the scatter merge)
     #: and boxes beyond the bound are never descended (shrinking the
     #: queues).  In box-like scenes (walls/floor/ceiling dominate by
     #: area) most rays' seed IS their final hit.
-    seed_rows: jnp.ndarray = None  # [K, 16] f32
+    seed_rows: jnp.ndarray = None  # [K, 24] f32
 
     @property
     def num_prims(self) -> int:
@@ -363,6 +374,45 @@ def flatten_scene(
     order = bvh.get_sorted_order()
     flat = build_flat_wide_bvh(bvh, tree_width)
 
+    # --- precomputed intersection fields (VERDICT r4 task 1) ---
+    # Every traversal backend runs the SAME precomputed-table prim test
+    # (ops/intersect.packed_prim_test), so the per-triangle terms that
+    # depend only on geometry — the unnormalized plane normal n, the
+    # plane offset n.v0, and the two barycentric affine rows — are
+    # computed ONCE here in f64 and cast to f32, instead of re-deriving
+    # them per leaf visit per ray on-device (intersectRayTriangle
+    # recomputes two edge vectors + a cross product per test,
+    # src/cudaRenderer.cu:217-270; round 4 measured that recompute at
+    # ~320 ms/frame in the packet-DFS depths).  Barycentric rows: with
+    # A = [e1 e2 n] (columns), (u, v, s) = A^-1 (p - v0), so
+    # u = r1.p + t1w with r1 = (e2 x n)/|n|^2, t1w = -r1.v0 (and
+    # r2 = (n x e1)/|n|^2 for v).  Degenerate triangles get zero rows;
+    # their zero normal always trips the parallel rejection.
+    ptype_o = ptype[order]
+    v0o, v1o, v2o = v0[order], v1[order], v2[order]
+    e1_ = v1o - v0o
+    e2_ = v2o - v0o
+    nrm_ = np.cross(e1_, e2_)
+    det_ = (nrm_ * nrm_).sum(1)
+    safe_ = det_ > 0.0
+    inv_det = 1.0 / np.where(safe_, det_, 1.0)
+    r1_ = np.where(safe_[:, None], np.cross(e2_, nrm_) * inv_det[:, None], 0.0)
+    r2_ = np.where(safe_[:, None], np.cross(nrm_, e1_) * inv_det[:, None], 0.0)
+    is_sph_o = ptype_o == PRIM_SPHERE
+    # g = plane normal (tri) / center (sphere); g.w = n.v0 / radius
+    g_vec = np.where(is_sph_o[:, None], v0o, nrm_).astype(np.float32)
+    g_w = np.where(
+        is_sph_o, v1o[:, 0], (nrm_ * v0o).sum(1)
+    ).astype(np.float32)
+    t1_row = np.concatenate(
+        [r1_, -(r1_ * v0o).sum(1)[:, None]], axis=1
+    ).astype(np.float32)
+    t2_row = np.concatenate(
+        [r2_, -(r2_ * v0o).sum(1)[:, None]], axis=1
+    ).astype(np.float32)
+    t1_row[is_sph_o] = 0.0
+    t2_row[is_sph_o] = 0.0
+
     # BSDF table
     B = max(len(bsdfs), 1)
     bfn = np.zeros(B, np.int32)
@@ -529,9 +579,6 @@ def flatten_scene(
         # reference_results/performance.txt:23).  Semantics are
         # byte-identical to the loop form (checked against snapshots of
         # the loop's tables on bunny/terrain at both tree widths).
-        ptype_o = ptype[order]
-        v0o, v1o, v2o = v0[order], v1[order], v2[order]
-
         if lr_all[0] > 0:
             # degenerate single-leaf tree: one pseudo-node whose only
             # slot is an always-hit box over the whole root leaf run
@@ -616,11 +663,12 @@ def flatten_scene(
             idx_c = np.where(vmask, idx, 0)
             m3 = vmask[:, :, None]
             pg = np.zeros((G, 8, 16), np.float32)
-            pg[:, :, 0:3] = np.where(m3, v0o[idx_c], 0.0)
-            pg[:, :, 3:6] = np.where(m3, v1o[idx_c], 0.0)
-            pg[:, :, 6:9] = np.where(m3, v2o[idx_c], 0.0)
-            pg[:, :, 9] = np.where(vmask, ptype_o[idx_c], -1.0)
-            pg[:, :, 10] = np.where(vmask, idx, 0.0)
+            pg[:, :, 0:3] = np.where(m3, g_vec[idx_c], 0.0)
+            pg[:, :, 3] = np.where(vmask, g_w[idx_c], 0.0)
+            pg[:, :, 4:8] = np.where(m3, t1_row[idx_c], 0.0)
+            pg[:, :, 8:12] = np.where(m3, t2_row[idx_c], 0.0)
+            pg[:, :, 12] = np.where(vmask, ptype_o[idx_c], -1.0)
+            pg[:, :, 13] = np.where(vmask, idx, 0.0)
             pg_flat = pg.reshape(G, 128)
         else:
             pg_flat = np.zeros((1, 128), np.float32)
@@ -681,6 +729,10 @@ def flatten_scene(
     prim_packed[:P, 3:6] = v1[order]
     prim_packed[:P, 6:9] = v2[order]
     prim_packed[:P, 9] = ptype[order]
+    prim_packed[:P, 10:13] = g_vec
+    prim_packed[:P, 13] = g_w
+    prim_packed[:P, 14:18] = t1_row
+    prim_packed[:P, 18:22] = t2_row
 
     shade_packed = np.zeros((P, 32), np.float32)
     shade_packed[:, 0:3] = v0[order]
@@ -694,23 +746,18 @@ def flatten_scene(
 
     # seed rows: the K largest-area prims (area = the occlusion each
     # contributes; triangles 0.5|e1 x e2|, spheres pi r^2 projected
-    # disc), BVH-order ids so results join the normal prim arrays
-    ov0, ov1, ov2 = v0[order], v1[order], v2[order]
-    otype = ptype[order]
-    tri_area = 0.5 * np.linalg.norm(
-        np.cross(ov1 - ov0, ov2 - ov0), axis=1
-    )
-    sph_area = np.pi * ov1[:, 0] ** 2
-    area = np.where(otype == 0, tri_area, sph_area)
+    # disc), BVH-order ids so results join the normal prim arrays.
+    # Layout = prim_packed cols 0:22 (incl. the precomputed fields, so
+    # the seed sweep runs the same packed_prim_test) + orig id at 22.
+    tri_area = 0.5 * np.sqrt(det_)
+    sph_area = np.pi * v1o[:, 0] ** 2
+    area = np.where(ptype_o == 0, tri_area, sph_area)
     K = int(min(32, P))
     seed_ids = np.argsort(-area, kind="stable")[:K]
-    seed_rows = np.zeros((max(K, 1), 16), np.float32)
+    seed_rows = np.zeros((max(K, 1), 24), np.float32)
     if K:
-        seed_rows[:, 0:3] = ov0[seed_ids]
-        seed_rows[:, 3:6] = ov1[seed_ids]
-        seed_rows[:, 6:9] = ov2[seed_ids]
-        seed_rows[:, 9] = otype[seed_ids]
-        seed_rows[:, 10] = seed_ids.astype(np.float32)
+        seed_rows[:, 0:22] = prim_packed[seed_ids, 0:22]
+        seed_rows[:, 22] = seed_ids.astype(np.float32)
 
     fscene = FlatScene(
         prim_type=i32(ptype[order]),

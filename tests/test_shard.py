@@ -83,23 +83,28 @@ def test_tiles_mode_stitches_exactly(mesh, setup):
     assert sharded.shape == (cfg.height, cfg.width, 3)
 
     rows = cfg.height // NDEV
-    tile_cfg = cfg.replace(height=rows)
+    tile_cfg = shard._slab_config(cfg, rows)
     from cuda_raytracer_tpu.ops import filters as F
+    from cuda_raytracer_tpu.ops import shade as S
     from cuda_raytracer_tpu.render.bounce import (
         make_stage_fns, run_bounce_loop,
     )
 
     for idx in (0, 3, NDEV - 1):
         chip_key = jax.random.fold_in(key, idx)
-        o, d = shard._tile_rays(
-            chip_key, cfg.width, cfg.height, rows, idx,
+        pix_order, inv_order, sample_major = shard._order_arrays(tile_cfg)
+        o, d = S.generate_camera_rays(
+            jax.random.fold_in(chip_key, 0), cfg.width, rows,
             cfg.samples_per_frame, cam[0], cam[1], tan_h, tan_v,
+            pix_order=pix_order, row_offset=idx * rows,
+            full_height=cfg.height,
         )
         light, _ = run_bounce_loop(
             make_stage_fns(tile_cfg), tile_cfg, scene, o, d, chip_key
         )
         slab = np.asarray(
-            F.reconstruct(light, cfg.width, rows, cfg.samples_per_frame)
+            F.reconstruct(light, cfg.width, rows, cfg.samples_per_frame,
+                          inv_order=inv_order, sample_major=sample_major)
         )
         np.testing.assert_allclose(
             sharded[idx * rows:(idx + 1) * rows], slab,
@@ -220,3 +225,64 @@ def test_sharded_matches_engine_estimator(mesh, setup):
     assert abs(sharded.mean() - single.mean()) < 0.25 * max(
         sharded.mean(), single.mean()
     )
+
+
+def test_tiles_mode_honors_tiles32s_warning_free(mesh):
+    """The bench-winning tiles32s + shared-u granule config survives
+    tile sharding (VERDICT r4 weak 5): each slab renders in tiles32s
+    sample-major order (exact stitch against a standalone slab with
+    the same swizzle), and no warning fires on the way."""
+    import warnings
+
+    from cuda_raytracer_tpu.ops import filters as F
+    from cuda_raytracer_tpu.ops import shade as S
+    from cuda_raytracer_tpu.render.bounce import (
+        make_stage_fns, run_bounce_loop,
+    )
+
+    cfg = RenderConfig(
+        width=32, height=16, samples_per_frame=NDEV, max_depth=2,
+        nee_schedule=((1, 1.0), (1, 1.0)), shard_mode="tiles",
+        sample_order="tiles32s", rng_granule=128,
+    )
+    scene, _ = flatten_scene(cornell_box_scene(with_spheres=True))
+    cam = (
+        jnp.asarray([0.0, 0.75, 2.5], jnp.float32),
+        jnp.eye(3, dtype=jnp.float32),
+    )
+    tan_h = math.tan(math.radians(50.0) / 2)
+    tan_v = math.tan(math.radians(35.0) / 2)
+    key = jax.random.PRNGKey(29)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sharded = np.asarray(shard.render_frame_sharded(
+            mesh, scene, cfg, cam, key, tan_h, tan_v
+        ))
+    dropped = [w for w in caught if "sample_order" in str(w.message)]
+    assert not dropped, f"slab order dropped: {dropped[0].message}"
+    assert np.isfinite(sharded).all()
+
+    rows = cfg.height // NDEV
+    tile_cfg = shard._slab_config(cfg, rows)
+    assert tile_cfg.sample_order == "tiles32s"  # honored, not dropped
+    for idx in (0, NDEV - 1):
+        chip_key = jax.random.fold_in(key, idx)
+        pix_order, inv_order, sample_major = shard._order_arrays(tile_cfg)
+        assert sample_major
+        o, d = S.generate_camera_rays(
+            jax.random.fold_in(chip_key, 0), cfg.width, rows,
+            cfg.samples_per_frame, cam[0], cam[1], tan_h, tan_v,
+            pix_order=pix_order, row_offset=idx * rows,
+            full_height=cfg.height,
+        )
+        light, _ = run_bounce_loop(
+            make_stage_fns(tile_cfg), tile_cfg, scene, o, d, chip_key
+        )
+        slab = np.asarray(
+            F.reconstruct(light, cfg.width, rows, cfg.samples_per_frame,
+                          inv_order=inv_order, sample_major=sample_major)
+        )
+        np.testing.assert_allclose(
+            sharded[idx * rows:(idx + 1) * rows], slab,
+            rtol=1e-5, atol=1e-6,
+        )
