@@ -66,6 +66,10 @@ def bench_config():
         tree_width=TREE_W,
         max_leaf_size=MAX_LEAF,
         compact_depths=COMPACT,
+        **({"packet_size": int(os.environ["BENCH_PS"])}
+           if "BENCH_PS" in os.environ else {}),
+        **({"packet_size_secondary": int(os.environ["BENCH_PSS"])}
+           if "BENCH_PSS" in os.environ else {}),
         **({"seed_k": int(SEED_K)} if SEED_K is not None else {}),
         **({"seed_primary": os.environ["BENCH_SEEDPRIM"] == "1"}
            if "BENCH_SEEDPRIM" in os.environ else {}),

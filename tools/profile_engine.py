@@ -27,6 +27,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--ps", type=int, default=0,
+                    help="packet_size override (0 = default)")
+    ap.add_argument("--pss", type=int, default=0,
+                    help="packet_size_secondary override")
     args = ap.parse_args()
 
     from cuda_raytracer_tpu.config import RenderConfig
@@ -41,6 +45,8 @@ def main():
         sample_order="tiles32s", rng_granule=1024,
         rr_start_depth=2, traversal="dfs", traversal_secondary="dfs",
         traversal_rr="pallas",
+        **({"packet_size": args.ps} if args.ps else {}),
+        **({"packet_size_secondary": args.pss} if args.pss else {}),
     )
     r = WavefrontRenderer(cfg, camera_mode="collada")
     r.load_scene(SCENE)
